@@ -1,0 +1,16 @@
+"""Test configuration: run on CPU with 8 virtual devices so multi-chip
+sharding paths (ICI top-k merge, shard_map search) are exercised without TPU
+hardware (SURVEY.md §4 rebuild translation)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_threefry_partitionable", True)
