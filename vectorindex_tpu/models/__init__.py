@@ -1,0 +1,9 @@
+"""Index families (the reference's index-level components, SURVEY.md §2.3)."""
+
+from vectorindex_tpu.models.base import (  # noqa: F401
+    IndexStats,
+    SearchResult,
+    VectorIndex,
+)
+from vectorindex_tpu.models.filters import JournalFilter  # noqa: F401
+from vectorindex_tpu.models.flat import FlatIndex  # noqa: F401

@@ -1,0 +1,113 @@
+"""JournalFilter — metadata post-filter DSL.
+
+Parity target: reference Filters/JournalFilter.swift:12 — a builder DSL
+(dateBetween / includingTags / excludingTags / allowMissingKeys / and) that
+compiles to a `@Sendable ([String:String]?) -> Bool` predicate applied after
+candidate generation (JournalFilter.swift:74-124).
+
+Host-side by design: metadata lives on the host; search pipelines oversample
+on device, then apply the compiled predicate to the candidate list (the same
+post-filter placement as the reference).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import date, datetime
+from typing import Callable, Optional
+
+Metadata = Optional[dict]
+Predicate = Callable[[Metadata], bool]
+
+
+def _parse_date(value) -> Optional[date]:
+    if isinstance(value, datetime):
+        return value.date()
+    if isinstance(value, date):
+        return value
+    if isinstance(value, str):
+        try:
+            return datetime.fromisoformat(value).date()
+        except ValueError:
+            return None
+    return None
+
+
+@dataclass
+class JournalFilter:
+    """Builder DSL mirroring JournalFilter.swift:32-69. All clauses AND
+    together; `compile()` produces the predicate."""
+
+    date_key: str = "date"
+    tags_key: str = "tags"
+    allow_missing_keys: bool = False
+    _date_lo: Optional[date] = None
+    _date_hi: Optional[date] = None
+    _include_tags: set = field(default_factory=set)
+    _exclude_tags: set = field(default_factory=set)
+    _extra: list = field(default_factory=list)
+
+    def date_between(self, lo, hi) -> "JournalFilter":
+        self._date_lo = _parse_date(lo)
+        self._date_hi = _parse_date(hi)
+        return self
+
+    def including_tags(self, *tags: str) -> "JournalFilter":
+        self._include_tags.update(tags)
+        return self
+
+    def excluding_tags(self, *tags: str) -> "JournalFilter":
+        self._exclude_tags.update(tags)
+        return self
+
+    def allowing_missing_keys(self, allow: bool = True) -> "JournalFilter":
+        self.allow_missing_keys = allow
+        return self
+
+    def and_(self, predicate: Predicate) -> "JournalFilter":
+        """Custom clause (reference `.and`, JournalFilter.swift:69)."""
+        self._extra.append(predicate)
+        return self
+
+    @staticmethod
+    def _tags_of(meta: dict, key: str) -> Optional[set]:
+        raw = meta.get(key)
+        if raw is None:
+            return None
+        if isinstance(raw, str):
+            return {t.strip() for t in raw.split(",") if t.strip()}
+        return set(raw)
+
+    def compile(self) -> Predicate:
+        date_lo, date_hi = self._date_lo, self._date_hi
+        include, exclude = frozenset(self._include_tags), frozenset(self._exclude_tags)
+        extra = tuple(self._extra)
+        allow_missing = self.allow_missing_keys
+        date_key, tags_key = self.date_key, self.tags_key
+
+        def predicate(meta: Metadata) -> bool:
+            if meta is None:
+                return allow_missing and not include and date_lo is None
+            if date_lo is not None or date_hi is not None:
+                d = _parse_date(meta.get(date_key))
+                if d is None:
+                    if not allow_missing:
+                        return False
+                else:
+                    if date_lo is not None and d < date_lo:
+                        return False
+                    if date_hi is not None and d > date_hi:
+                        return False
+            if include or exclude:
+                tags = JournalFilter._tags_of(meta, tags_key)
+                if tags is None:
+                    if include and not allow_missing:
+                        return False
+                    tags = set()
+                if include and not include.issubset(tags):
+                    return False
+                if exclude and tags & exclude:
+                    return False
+            return all(p(meta) for p in extra)
+
+        return predicate
