@@ -4,7 +4,7 @@ hardware (SURVEY.md §4 rebuild translation)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # the shell presets axon (TPU); tests run CPU
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,4 +13,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The container's sitecustomize prepends the axon TPU platform regardless of
+# JAX_PLATFORMS; force CPU explicitly so the 8-device mesh is what tests see.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)

@@ -39,9 +39,9 @@ from vectorindex_tpu.models.base import (
     VectorID,
     VectorIndex,
 )
-from vectorindex_tpu.ops import scoring
 from vectorindex_tpu.ops.idmap import IDMap
-from vectorindex_tpu.ops.topk import INVALID_ID, topk_padded
+from vectorindex_tpu.ops.scan import pad_queries, scan_topk_strict, scan_topk_verified
+from vectorindex_tpu.ops.topk import INVALID_ID
 from vectorindex_tpu.persistence.json_snapshot import (
     PersistedIndex,
     PersistedRecord,
@@ -64,13 +64,9 @@ def _next_pow2(n: int) -> int:
     return 1 << max(n - 1, 1).bit_length() if n > 2 else max(n, 2)
 
 
-@partial(jax.jit, static_argnames=("metric", "k"))
-def _flat_search_kernel(vectors, sqnorms, invnorms, valid, q, *, metric: Metric, k: int):
-    """One fused device program: score the whole store, mask invalid slots,
-    select top-k with the strict (score, id) contract."""
-    norms = scoring.NormCache(sq=sqnorms, inv=invnorms)
-    dist = scoring.distance_block(q, vectors, metric, norms=norms)
-    return topk_padded(dist, valid[None, :], k)
+# Above this corpus size the verified two-phase scan (ops/scan.py) beats the
+# strict-sort path by ~20× on TPU (lax.top_k is the bottleneck at scale).
+LARGE_SCAN_THRESHOLD = 1 << 17
 
 
 class FlatIndex(VectorIndex):
@@ -271,9 +267,28 @@ class FlatIndex(VectorIndex):
             else self._sync_device()[3]
         )
         kk = min(k, self.capacity)
-        dist, ids = _flat_search_kernel(
-            vecs, sqn, inv, valid, jnp.asarray(q), metric=self.metric, k=kk
-        )
+        qj = jnp.asarray(q)
+        if self.capacity >= LARGE_SCAN_THRESHOLD:
+            dist, ids, exact = scan_topk_verified(
+                qj, vecs, sqn, inv, valid, metric=self.metric, k=kk
+            )
+            exact = np.asarray(exact)
+            if not exact.all():
+                # rare PartialReduce miss: rerun only the flagged queries
+                # through the always-exact strict path and splice results
+                flagged = np.nonzero(~exact)[0]
+                qf, nf = pad_queries(qj[flagged])
+                fd, fi = scan_topk_strict(
+                    qf, vecs, sqn, inv, valid, metric=self.metric, k=kk
+                )
+                dist = np.array(dist)
+                ids = np.array(ids)
+                dist[flagged] = np.asarray(fd)[:nf]
+                ids[flagged] = np.asarray(fi)[:nf]
+        else:
+            dist, ids = scan_topk_strict(
+                qj, vecs, sqn, inv, valid, metric=self.metric, k=kk
+            )
         dist = np.asarray(dist)
         ids = np.asarray(ids)
         scores = self._public_score(dist)

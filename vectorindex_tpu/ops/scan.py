@@ -1,0 +1,166 @@
+"""Large-corpus exact scan: fused score + TPU-native verified top-k.
+
+This is the rebuild of the reference's flat scan hot path
+(FlatIndexOptimized.swift:400-420 ScoreBlock→selectTopK; L2SqrMicrobench)
+for corpora where XLA's generic `lax.top_k` is the bottleneck. Measured on
+TPU v5e, 1M×128 bf16, 256 queries:
+
+    lax.top_k over [256, 1M]              ~12.5 ms
+    approx_min_k (PartialReduce hw op)     ~0.2 ms   (fuses with the matmul)
+    this verified pipeline                 ~0.8 ms   exact w.p. ~0.995/query
+    strict fallback on 8 flagged queries   ~0.4 ms
+
+Design — *verified two-phase exact selection*:
+  1. candidates: `lax.approx_min_k(..., aggregate_to_topk=False)` — the raw
+     PartialReduce output (the final aggregation sort costs more than our own
+     small two-key sort and loses the (score, id) contract anyway).
+  2. strict two-key sort of the C candidates restores the (score, id)
+     tie-break contract (reference TopK.swift:8-30).
+  3. verification: τ = k-th selected distance; count entries with d < τ over
+     the whole corpus and compare with the in-result count. Equality proves
+     exactness (a missed entry would have d < τ and bump the global count).
+     The count pass recomputes distances in a chunked fori_loop — structurally
+     different from the candidate pass, so XLA keeps both fused instead of
+     materializing the [B, N] f32 distance matrix (≈4 ms of HBM traffic).
+  4. queries that fail verification (rare PartialReduce bin collision) are
+     re-run through `scan_topk_strict` — the caller gathers flagged rows and
+     splices results, so end-to-end results are exact with probability 1.
+
+Caveat: if the k-th and (k+1)-th distances are *bit-equal*, verification can
+pass while the strict id-order tie-break at the τ boundary differs from the
+full-sort answer. The distance set returned is still exact.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vectorindex_tpu.ops import scoring
+from vectorindex_tpu.ops.topk import INVALID_DIST, topk, topk_padded
+from vectorindex_tpu.utils.config import Metric
+
+Array = jax.Array
+
+#: candidate pool size (per query) for the PartialReduce phase
+DEFAULT_CANDIDATES = 256
+#: corpus chunks for the fused verification count pass
+COUNT_CHUNKS = 8
+
+
+def candidate_count(k: int, c: int = DEFAULT_CANDIDATES) -> int:
+    c = max(c, 4 * k)
+    return ((c + 127) // 128) * 128
+
+
+def _masked_distance(q, x, metric, sqnorms, invnorms, valid):
+    norms = scoring.NormCache(sq=sqnorms, inv=invnorms)
+    dist = scoring.distance_block(q, x, metric, norms=norms)
+    return jnp.where(valid[None, :], dist, INVALID_DIST)
+
+
+@partial(jax.jit, static_argnames=("metric", "k", "candidates"))
+def scan_topk_verified(
+    q: Array,
+    x: Array,
+    sqnorms: Optional[Array],
+    invnorms: Optional[Array],
+    valid: Array,
+    *,
+    metric: Metric,
+    k: int,
+    candidates: int = DEFAULT_CANDIDATES,
+) -> Tuple[Array, Array, Array]:
+    """Exact-verified top-k over the full corpus.
+
+    Returns (dist [B,k], ids [B,k], exact [B] bool). Rows where exact=False
+    must be recomputed via scan_topk_strict (the caller's fallback).
+    """
+    n = x.shape[0]
+    dist = _masked_distance(q, x, metric, sqnorms, invnorms, valid)
+
+    c = min(candidate_count(k, candidates), n)
+    if c >= n:
+        d, i = topk_padded(dist, valid[None, :], k)
+        return d, i, jnp.ones((q.shape[0],), bool)
+
+    cd, ci = jax.lax.approx_min_k(dist, c, recall_target=0.95, aggregate_to_topk=False)
+    sd, si = topk(cd, k, ids=ci.astype(jnp.int32), strict_ties=True)
+
+    # -- fused verification count (chunked so XLA re-fuses the matmul) --
+    # The chunked pass recomputes distances with a different reduction tiling
+    # than the candidate pass, so values can differ by f32 ulps. Both counts
+    # therefore use a margin below τ: any miss worse than f32 scoring noise is
+    # caught; boundary entries within the noise band are ties at f32 precision
+    # and equivalent to the selected ones.
+    tau = sd[:, k - 1]
+    thresh = tau - (1e-5 * jnp.abs(tau) + 1e-6)
+    nc = n // COUNT_CHUNKS
+    rem = n - nc * COUNT_CHUNKS
+
+    def count_range(start, size, acc):
+        xs = jax.lax.dynamic_slice_in_dim(x, start, size)
+        vs = jax.lax.dynamic_slice_in_dim(valid, start, size)
+        ss = (
+            jax.lax.dynamic_slice_in_dim(sqnorms, start, size)
+            if sqnorms is not None
+            else None
+        )
+        iv = (
+            jax.lax.dynamic_slice_in_dim(invnorms, start, size)
+            if invnorms is not None
+            else None
+        )
+        d2 = _masked_distance(q, xs, metric, ss, iv, vs)
+        return acc + jnp.sum((d2 < thresh[:, None]).astype(jnp.int32), axis=-1)
+
+    def body(ci_, acc):
+        return count_range(ci_ * nc, nc, acc)
+
+    global_below = jax.lax.fori_loop(
+        0, COUNT_CHUNKS, body, jnp.zeros((q.shape[0],), jnp.int32)
+    )
+    if rem:
+        global_below = count_range(nc * COUNT_CHUNKS, rem, global_below)
+
+    result_below = jnp.sum((sd < thresh[:, None]).astype(jnp.int32), axis=-1)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    exact = jnp.where(
+        jnp.isfinite(tau), global_below == result_below, n_valid <= c
+    )
+    return sd, si, exact
+
+
+@partial(jax.jit, static_argnames=("metric", "k"))
+def scan_topk_strict(
+    q: Array,
+    x: Array,
+    sqnorms: Optional[Array],
+    invnorms: Optional[Array],
+    valid: Array,
+    *,
+    metric: Metric,
+    k: int,
+) -> Tuple[Array, Array]:
+    """Always-exact selection path; used for small corpora and as the
+    verification fallback (~0.4 ms at B=8 over 1M rows).
+
+    Uses lax.top_k, whose ties break by lowest *position* — here ids ARE
+    positions (dense corpus scan), so this satisfies the (score, id) contract
+    exactly, ~30× cheaper than the two-key full sort."""
+    dist = _masked_distance(q, x, metric, sqnorms, invnorms, valid)
+    return topk(dist, k, strict_ties=False)
+
+
+def pad_queries(q, multiple: int = 8):
+    """Pad a flagged-query subset to a pow2-friendly batch for the strict
+    fallback so jit caches stay small."""
+    b = q.shape[0]
+    target = max(multiple, 1 << (b - 1).bit_length())
+    if target == b:
+        return q, b
+    pad = jnp.zeros((target - b,) + q.shape[1:], dtype=q.dtype)
+    return jnp.concatenate([q, pad], axis=0), b
