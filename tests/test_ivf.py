@@ -1,0 +1,245 @@
+"""IVF ops + IVFIndex: select correctness, CSR store invariants, probed
+search vs brute force, recall monotonicity in nprobe (reference
+IVFRecallTests, IVFProbeMonotonicTests, IVFListMaintenanceTests)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vectorindex_tpu.models.ivf import IVFConfig, IVFIndex
+from vectorindex_tpu.ops import ivf as ivf_ops
+from vectorindex_tpu.utils.config import Metric
+
+
+def _data(n=400, d=16, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n, d)).astype(np.float32)
+
+
+# -- ops level --
+
+
+def test_ivf_select_matches_bruteforce():
+    rng = np.random.default_rng(1)
+    cents = rng.standard_normal((32, 8)).astype(np.float32)
+    q = rng.standard_normal((5, 8)).astype(np.float32)
+    d, ids = ivf_ops.ivf_select(jnp.asarray(q), jnp.asarray(cents), nprobe=4)
+    ref = np.argsort(((q[:, None, :] - cents[None]) ** 2).sum(-1), axis=1)[:, :4]
+    np.testing.assert_array_equal(np.asarray(ids), ref)
+
+
+def test_ivf_select_disabled_lists():
+    rng = np.random.default_rng(2)
+    cents = rng.standard_normal((8, 4)).astype(np.float32)
+    q = rng.standard_normal((3, 4)).astype(np.float32)
+    disabled = jnp.asarray([True, False] * 4)
+    _, ids = ivf_ops.ivf_select(
+        jnp.asarray(q), jnp.asarray(cents), nprobe=4, disabled=disabled
+    )
+    assert np.all(np.asarray(ids) % 2 == 1)
+
+
+def test_list_store_pack_and_stats():
+    store = ivf_ops.IVFListStore(4, 8)
+    rng = np.random.default_rng(3)
+    for i in range(40):
+        store.append(i % 4, i, rng.standard_normal(8).astype(np.float32))
+    arrays = store.sync_device()
+    st = store.list_stats()
+    assert st["total"] == 40
+    assert st["max_len"] == 10
+    assert np.asarray(arrays.lengths).sum() == 40
+    # rows carry their internal ids
+    ids0, vecs0 = store.read_list(0)
+    start0 = int(np.asarray(arrays.starts)[0])
+    np.testing.assert_array_equal(
+        np.asarray(arrays.row_ids)[start0 : start0 + 10], ids0
+    )
+
+
+def test_list_store_remove_and_incremental_append():
+    store = ivf_ops.IVFListStore(2, 4)
+    v = np.ones(4, np.float32)
+    store.append(0, 1, v)
+    store.append(0, 2, 2 * v)
+    store.sync_device()
+    # in-capacity append after sync uses the fast path
+    store.append(0, 3, 3 * v)
+    arrays = store.sync_device()
+    assert int(np.asarray(arrays.lengths)[0]) == 3
+    assert store.remove(0, 2)
+    assert not store.remove(0, 99)
+    arrays = store.sync_device()
+    assert int(np.asarray(arrays.lengths)[0]) == 2
+
+
+def test_ivf_search_flat_exact_within_probed():
+    # nprobe == nlist → results must equal exact brute force
+    x = _data(300, 8)
+    from vectorindex_tpu.ops import kmeans as km
+    from vectorindex_tpu.ops import rng as vrng
+
+    res = km.kmeans(jnp.asarray(x), km.KMeansConfig(k=8, iters=10, seed=0))
+    store = ivf_ops.IVFListStore(8, 8)
+    store.append_batch(np.asarray(res.assignments), np.arange(300), x)
+    arrays = store.sync_device()
+    q = _data(6, 8, seed=9)
+    d, ids = ivf_ops.ivf_search_flat(
+        jnp.asarray(q),
+        res.centroids,
+        arrays,
+        nprobe=8,
+        probe_cap=ivf_ops.probe_cap_for(store.max_length),
+        k=5,
+    )
+    ref = np.argsort(((q[:, None, :] - x[None]) ** 2).sum(-1), axis=1)[:, :5]
+    np.testing.assert_array_equal(np.sort(np.asarray(ids), 1), np.sort(ref, 1))
+
+
+def test_rerank_exact_topk():
+    x = _data(50, 8)
+    sqn = (x**2).sum(1)
+    q = _data(3, 8, seed=5)
+    cands = np.tile(np.arange(50, dtype=np.int32), (3, 1))
+    d, ids = ivf_ops.rerank_exact_topk(
+        jnp.asarray(q), jnp.asarray(cands), jnp.asarray(x), jnp.asarray(sqn), k=4
+    )
+    ref = np.argsort(((q[:, None, :] - x[None]) ** 2).sum(-1), axis=1)[:, :4]
+    np.testing.assert_array_equal(np.asarray(ids), ref)
+
+
+def test_rerank_with_missing_sentinels():
+    x = _data(20, 4)
+    sqn = (x**2).sum(1)
+    q = _data(1, 4, seed=6)
+    cands = np.full((1, 8), ivf_ops.INVALID_ID, dtype=np.int32)
+    cands[0, :3] = [5, 7, 9]
+    d, ids = ivf_ops.rerank_exact_topk(
+        jnp.asarray(q), jnp.asarray(cands), jnp.asarray(x), jnp.asarray(sqn), k=8
+    )
+    ids = np.asarray(ids)
+    assert set(ids[0, :3].tolist()) == {5, 7, 9}
+    assert np.all(ids[0, 3:] == ivf_ops.INVALID_ID)
+
+
+# -- index level --
+
+
+def test_ivf_index_end_to_end_recall():
+    x = _data(400, 16)
+    idx = IVFIndex(16, config=IVFConfig(nlist=16, nprobe=16))
+    idx.insert_batch([f"v{i}" for i in range(400)], x)
+    idx.optimize()
+    # nprobe == nlist: exact
+    res = idx.search(x[7], k=5)
+    assert res[0].id == "v7"
+    ref = np.argsort(np.linalg.norm(x - x[7], axis=1))[:5]
+    assert {r.id for r in res} == {f"v{i}" for i in ref}
+
+
+def test_ivf_recall_monotone_in_nprobe():
+    """Reference IVFProbeMonotonicTests: recall monotone in nprobe."""
+    x = _data(400, 16, seed=11)
+    q = x[:40] + 0.01 * _data(40, 16, seed=12)
+    truth = np.argsort(
+        ((q[:, None, :] - x[None]) ** 2).sum(-1), axis=1
+    )[:, :5]
+    recalls = []
+    for nprobe in (1, 4, 16):
+        idx = IVFIndex(16, config=IVFConfig(nlist=16, nprobe=nprobe))
+        idx.insert_batch(list(range(400)), x)
+        idx.optimize()
+        results = idx.batch_search(q, k=5)
+        hits = 0
+        for b, row in enumerate(results):
+            hits += len({r.id for r in row} & set(truth[b].tolist()))
+        recalls.append(hits / (40 * 5))
+    assert recalls[0] <= recalls[1] + 0.05
+    assert recalls[1] <= recalls[2] + 0.05
+    assert recalls[2] >= 0.99  # nprobe == nlist is exact
+
+
+def test_ivf_untrained_falls_back_to_exact():
+    x = _data(50, 8)
+    idx = IVFIndex(8, config=IVFConfig(nlist=4))
+    idx.insert_batch(list(range(50)), x)
+    res = idx.search(x[3], k=3)
+    assert res[0].id == 3
+
+
+def test_ivf_insert_after_train_and_remove():
+    x = _data(200, 8)
+    idx = IVFIndex(8, config=IVFConfig(nlist=8, nprobe=8))
+    idx.insert_batch(list(range(150)), x[:150])
+    idx.optimize()
+    # post-train inserts are assigned immediately
+    idx.insert_batch(list(range(150, 200)), x[150:])
+    res = idx.search(x[180], k=1)
+    assert res[0].id == 180
+    idx.remove(180)
+    res = idx.search(x[180], k=1)
+    assert res[0].id != 180
+    st = idx.statistics()
+    assert st.details["assigned"] == 199
+
+
+def test_ivf_update_reassigns():
+    x = _data(100, 8)
+    idx = IVFIndex(8, config=IVFConfig(nlist=4, nprobe=4))
+    idx.insert_batch(list(range(100)), x)
+    idx.optimize()
+    idx.update(5, vector=x[50] + 5.0)
+    res = idx.search(x[50] + 5.0, k=1)
+    assert res[0].id == 5
+
+
+def test_ivf_metrics_ip_cosine():
+    x = _data(200, 8, seed=20)
+    for metric in (Metric.INNER_PRODUCT, Metric.COSINE):
+        idx = IVFIndex(8, metric=metric, config=IVFConfig(nlist=8, nprobe=8))
+        idx.insert_batch(list(range(200)), x)
+        idx.optimize()
+        q = x[9]
+        res = idx.search(q, k=5)
+        if metric == Metric.INNER_PRODUCT:
+            ref = np.argsort(-(x @ q))[:5]
+        else:
+            ref = np.argsort(
+                -(x @ q) / (np.linalg.norm(x, axis=1) * np.linalg.norm(q))
+            )[:5]
+        assert {r.id for r in res} == set(ref.tolist())
+
+
+def test_ivf_filter_oversampling():
+    x = _data(300, 8, seed=30)
+    idx = IVFIndex(8, config=IVFConfig(nlist=8, nprobe=8))
+    idx.insert_batch(
+        list(range(300)), x, [{"even": i % 2 == 0} for i in range(300)]
+    )
+    idx.optimize()
+    res = idx.search(x[0], k=10, filter=lambda m: m and m["even"])
+    assert len(res) == 10
+    assert all(r.metadata["even"] for r in res)
+
+
+def test_ivf_persistence_roundtrip(tmp_path):
+    x = _data(200, 8, seed=40)
+    idx = IVFIndex(8, config=IVFConfig(nlist=8, nprobe=8))
+    idx.insert_batch(list(range(200)), x)
+    idx.optimize()
+    p = str(tmp_path / "ivf.json")
+    idx.save(p)
+    idx2 = IVFIndex.load(p)
+    assert idx2.count == 200
+    assert idx2.trained
+    r1 = [r.id for r in idx.search(x[9], k=5)]
+    r2 = [r.id for r in idx2.search(x[9], k=5)]
+    assert r1 == r2
+
+
+def test_ivf_unsupported_metric():
+    from vectorindex_tpu.utils.errors import IndexError, IndexErrorKind
+
+    with pytest.raises(IndexError) as ei:
+        IVFIndex(8, metric=Metric.MANHATTAN)
+    assert ei.value.kind == IndexErrorKind.UNSUPPORTED_METRIC

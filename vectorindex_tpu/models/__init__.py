@@ -7,3 +7,4 @@ from vectorindex_tpu.models.base import (  # noqa: F401
 )
 from vectorindex_tpu.models.filters import JournalFilter  # noqa: F401
 from vectorindex_tpu.models.flat import FlatIndex  # noqa: F401
+from vectorindex_tpu.models.ivf import IVFConfig, IVFIndex  # noqa: F401

@@ -1,0 +1,360 @@
+"""IVFIndex — inverted-file index with k-means coarse quantizer (IVF-Flat).
+
+Parity target: reference IVFIndex.swift —
+  - Configuration nlist/nprobe (:15-22)
+  - optimize() = k-means++ seed (seed 42) + minibatch k-means (≤20 iters) +
+    assign (:265-284, :311-364)
+  - kernel-30 fast search path = #29 select → readList → #40 exact rerank
+    (:419-421, :862-985); here fused as ops.ivf.ivf_search_flat
+  - trained inserts assign to nearest centroid immediately; JSON save stores
+    raw records and load() re-runs optimize() (:657-665)
+  - statistics details nlist/trained_nlist/nprobe/assigned (:612-628)
+
+TPU-native deltas: queries batch through one jitted probed-search program;
+lists are CSR over a sorted corpus (ops/ivf.py); training is the ops/kmeans
+stack (k-means‖ for large nlist instead of the reference's sequential ++).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from vectorindex_tpu.models.base import (
+    FilterFn,
+    IndexStats,
+    Metadata,
+    SearchResult,
+    VectorID,
+    VectorIndex,
+)
+from vectorindex_tpu.ops import kmeans as km
+from vectorindex_tpu.ops import rng as vrng
+from vectorindex_tpu.ops.idmap import IDMap
+from vectorindex_tpu.ops.ivf import IVFListStore, ivf_search_flat, probe_cap_for
+from vectorindex_tpu.ops.scan import scan_topk_strict
+from vectorindex_tpu.ops.topk import INVALID_ID
+from vectorindex_tpu.persistence.json_snapshot import (
+    PersistedIndex,
+    PersistedRecord,
+    load_snapshot,
+    save_snapshot,
+)
+from vectorindex_tpu.utils.config import Metric
+from vectorindex_tpu.utils.errors import (
+    ErrorBuilder,
+    IndexErrorKind,
+    dimension_mismatch,
+    duplicate_id,
+)
+
+
+@dataclass(frozen=True)
+class IVFConfig:
+    """Reference IVFIndex.Configuration (IVFIndex.swift:15-22)."""
+
+    nlist: int = 64
+    nprobe: int = 8
+    train_iters: int = 20  # reference maxIterations 20 (:311)
+    seed: int = 42  # reference k-means seed 42 (:367)
+    min_train_points: int = 2  # per list, before optimize is meaningful
+
+
+class IVFIndex(VectorIndex):
+    TYPE = "ivf"
+
+    def __init__(
+        self,
+        dimension: int,
+        metric: Metric = Metric.L2,
+        config: IVFConfig = IVFConfig(),
+        storage_dtype=jnp.float32,
+    ):
+        if metric not in (Metric.L2, Metric.INNER_PRODUCT, Metric.COSINE):
+            raise (
+                ErrorBuilder(IndexErrorKind.UNSUPPORTED_METRIC)
+                .message(f"IVF supports L2/IP/cosine, got {metric.value}")
+                .build()
+            )
+        self.dimension = dimension
+        self.metric = metric
+        self.config = config
+        self.storage_dtype = storage_dtype
+        # host control plane
+        self._vectors: dict[int, np.ndarray] = {}  # slot -> vector
+        self._metadata: dict[int, Metadata] = {}
+        self._idmap = IDMap()
+        self._next_slot = 0
+        self._free: list[int] = []
+        # quantizer + lists
+        self._centroids: Optional[np.ndarray] = None
+        self._store = IVFListStore(config.nlist, dimension)
+        self._slot_list: dict[int, int] = {}  # slot -> list id
+
+    # ------------------------------------------------------------------
+
+    @property
+    def count(self) -> int:
+        return len(self._idmap)
+
+    @property
+    def trained(self) -> bool:
+        return self._centroids is not None
+
+    def _alloc(self) -> int:
+        if self._free:
+            return self._free.pop()
+        s = self._next_slot
+        self._next_slot += 1
+        return s
+
+    def _check(self, vector) -> np.ndarray:
+        v = np.asarray(vector, dtype=np.float32).reshape(-1)
+        if v.shape[0] != self.dimension:
+            raise dimension_mismatch(self.dimension, v.shape[0], "ivf.insert")
+        if not np.all(np.isfinite(v)):
+            raise (
+                ErrorBuilder(IndexErrorKind.INVALID_VECTOR)
+                .message("vector contains non-finite values")
+                .build()
+            )
+        return v
+
+    def _assign_lists(self, vecs: np.ndarray) -> np.ndarray:
+        assign, _ = km.assign_clusters(
+            jnp.asarray(vecs), jnp.asarray(self._centroids)
+        )
+        return np.asarray(assign)
+
+    # ------------------------------------------------------------------
+    # CRUD
+    # ------------------------------------------------------------------
+
+    def insert(self, id: VectorID, vector, metadata: Metadata = None) -> None:
+        if id in self._idmap:
+            raise duplicate_id(id, "ivf.insert")
+        v = self._check(vector)
+        slot = self._alloc()
+        self._vectors[slot] = v
+        self._metadata[slot] = metadata
+        self._idmap.append(id, slot)
+        if self.trained:
+            lst = int(self._assign_lists(v[None, :])[0])
+            self._store.append(lst, slot, v)
+            self._slot_list[slot] = lst
+
+    def insert_batch(self, ids, vectors, metadatas=None) -> None:
+        vectors = np.asarray(vectors, dtype=np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self.dimension:
+            raise dimension_mismatch(self.dimension, vectors.shape[-1], "ivf.insert_batch")
+        for id_ in ids:
+            if id_ in self._idmap:
+                raise duplicate_id(id_, "ivf.insert_batch")
+        slots = []
+        for i, id_ in enumerate(ids):
+            slot = self._alloc()
+            self._vectors[slot] = vectors[i]
+            self._metadata[slot] = None if metadatas is None else metadatas[i]
+            self._idmap.append(id_, slot)
+            slots.append(slot)
+        if self.trained:
+            lists = self._assign_lists(vectors)
+            self._store.append_batch(lists, slots, vectors)
+            for s, l in zip(slots, lists):
+                self._slot_list[s] = int(l)
+
+    def remove(self, id: VectorID) -> None:
+        slot = self._idmap.erase(id)
+        self._vectors.pop(slot, None)
+        self._metadata.pop(slot, None)
+        self._free.append(slot)
+        lst = self._slot_list.pop(slot, None)
+        if lst is not None:
+            self._store.remove(lst, slot)
+
+    def update(self, id: VectorID, vector=None, metadata: Metadata = None) -> None:
+        slot = self._idmap.lookup(id)
+        if vector is not None:
+            v = self._check(vector)
+            self._vectors[slot] = v
+            old = self._slot_list.pop(slot, None)
+            if old is not None:
+                self._store.remove(old, slot)
+            if self.trained:
+                lst = int(self._assign_lists(v[None, :])[0])
+                self._store.append(lst, slot, v)
+                self._slot_list[slot] = lst
+        if metadata is not None:
+            self._metadata[slot] = metadata
+
+    def contains(self, id: VectorID) -> bool:
+        return id in self._idmap
+
+    # ------------------------------------------------------------------
+    # training (reference optimize(), IVFIndex.swift:265)
+    # ------------------------------------------------------------------
+
+    def optimize(self) -> None:
+        if self.count < self.config.nlist * self.config.min_train_points:
+            if self.count == 0:
+                return
+        slots = sorted(self._vectors.keys())
+        x = np.stack([self._vectors[s] for s in slots])
+        cfg = km.KMeansConfig(
+            k=self.config.nlist,
+            iters=self.config.train_iters,
+            algo="lloyd",
+            seed=self.config.seed,
+        )
+        res = km.kmeans(jnp.asarray(x), cfg)
+        self._centroids = np.asarray(res.centroids)
+        assigns = np.asarray(res.assignments)
+        self._store.clear()
+        self._store.append_batch(assigns, slots, x)
+        self._slot_list = {s: int(l) for s, l in zip(slots, assigns)}
+
+    # ------------------------------------------------------------------
+    # search
+    # ------------------------------------------------------------------
+
+    def _public_score(self, dist: np.ndarray) -> np.ndarray:
+        if self.metric == Metric.L2:
+            return np.sqrt(np.maximum(dist, 0.0))
+        if self.metric == Metric.INNER_PRODUCT:
+            return -dist
+        return 1.0 - dist
+
+    def batch_search(
+        self, queries, k: int, filter: Optional[FilterFn] = None
+    ) -> list[list[SearchResult]]:
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.dimension:
+            raise dimension_mismatch(self.dimension, q.shape[1], "ivf.search")
+        if self.count == 0 or k <= 0:
+            return [[] for _ in range(q.shape[0])]
+
+        # oversample when a host-side metadata filter will drop hits
+        kk = min(k if filter is None else max(4 * k, k + 32), self.count)
+
+        if not self.trained:
+            # untrained: exact scan over all records (the reference's naive
+            # path unions everything when centroids are absent)
+            slots = sorted(self._vectors.keys())
+            x = np.stack([self._vectors[s] for s in slots])
+            dist, idx = scan_topk_strict(
+                jnp.asarray(q),
+                jnp.asarray(x),
+                None,
+                None,
+                jnp.ones((len(slots),), bool),
+                metric=self.metric,
+                k=min(kk, len(slots)),
+            )
+            ids = np.asarray([[slots[j] for j in row] for row in np.asarray(idx)])
+            dist = np.asarray(dist)
+        else:
+            arrays = self._store.sync_device(self.storage_dtype)
+            cap = probe_cap_for(self._store.max_length)
+            dist, ids = ivf_search_flat(
+                jnp.asarray(q),
+                jnp.asarray(self._centroids),
+                arrays,
+                nprobe=min(self.config.nprobe, self.config.nlist),
+                probe_cap=cap,
+                k=min(kk, max(self.count, 1)),
+                metric=self.metric,
+            )
+            dist, ids = np.asarray(dist), np.asarray(ids)
+
+        scores = self._public_score(dist)
+        out: list[list[SearchResult]] = []
+        for b in range(q.shape[0]):
+            row: list[SearchResult] = []
+            for j in range(ids.shape[1]):
+                slot = int(ids[b, j])
+                if slot == INVALID_ID or not np.isfinite(dist[b, j]):
+                    break
+                meta = self._metadata.get(slot)
+                if filter is not None and not filter(meta):
+                    continue
+                row.append(
+                    SearchResult(
+                        id=self._idmap.external_for(slot),
+                        score=float(scores[b, j]),
+                        metadata=meta,
+                    )
+                )
+                if len(row) == k:
+                    break
+            out.append(row)
+        return out
+
+    def search(self, query, k: int, filter: Optional[FilterFn] = None):
+        return self.batch_search(np.asarray(query)[None, :], k, filter)[0]
+
+    # ------------------------------------------------------------------
+
+    def statistics(self) -> IndexStats:
+        st = self._store.list_stats()
+        mem = sum(v.nbytes for v in self._vectors.values())
+        return IndexStats(
+            count=self.count,
+            dimension=self.dimension,
+            metric=self.metric.value,
+            memory_bytes=mem,
+            details={
+                "nlist": self.config.nlist,
+                "nprobe": self.config.nprobe,
+                "trained": self.trained,
+                "assigned": st["total"],
+                "max_list_len": st["max_len"],
+                "empty_lists": st["empty_lists"],
+            },
+        )
+
+    def save(self, path: str) -> None:
+        records = [
+            PersistedRecord(id=ext, vector=self._vectors[slot], metadata=self._metadata.get(slot))
+            for ext, slot in sorted(self._idmap.items(), key=lambda kv: kv[1])
+        ]
+        save_snapshot(
+            path,
+            PersistedIndex(
+                type=self.TYPE,
+                dimension=self.dimension,
+                metric=self.metric.value,
+                records=records,
+                config={
+                    "nlist": self.config.nlist,
+                    "nprobe": self.config.nprobe,
+                    "train_iters": self.config.train_iters,
+                    "seed": self.config.seed,
+                },
+            ),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "IVFIndex":
+        """Load records and re-run optimize() (reference contract,
+        IVFIndex.swift:657-665)."""
+        snap = load_snapshot(path, expected_type=cls.TYPE)
+        cfg = IVFConfig(
+            nlist=snap.config.get("nlist", 64),
+            nprobe=snap.config.get("nprobe", 8),
+            train_iters=snap.config.get("train_iters", 20),
+            seed=snap.config.get("seed", 42),
+        )
+        idx = cls(snap.dimension, Metric(snap.metric), cfg)
+        if snap.records:
+            idx.insert_batch(
+                [r.id for r in snap.records],
+                np.stack([r.vector for r in snap.records]),
+                [r.metadata for r in snap.records],
+            )
+            idx.optimize()
+        return idx

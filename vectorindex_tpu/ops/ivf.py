@@ -1,0 +1,352 @@
+"""IVF ops: coarse centroid selection, CSR list storage, probed search.
+
+Parity targets:
+  - #29 IVF select (nprobe)  Kernels/IVFSelect.swift:78 (ivf_select_nprobe_f32;
+    batch variant :242; disabledLists bitset, centroid norms, dot-trick opts
+    :16-56; partition+merge multithreading :103-145)
+  - #30 IVF append           Kernels/IVFAppend.swift:665 (ivf_append /
+    IVFListHandle :220: per-list growable storage, reserve_factor 2.0,
+    reserve_min 256 :38-39, zero-copy readList :366, getListStats :317)
+  - #40 exact rerank         Operations/Rerank/ExactRerank.swift:655
+    (rerank_exact_topk: gather tiles → ScoreBlock → TopK; ±inf sentinels
+    :76-78; IVFListVecsReader :153)
+
+TPU-native design:
+  - Coarse selection is one small MXU matmul + top-k — the reference's
+    kc-row scan with thread partition+merge collapses into the batch dim.
+  - List storage is *CSR over a sorted corpus*: vectors live in one flat
+    [N_pad, d] array ordered by list, with per-list (start, length) and a
+    bucketed per-list capacity (pow2 of reserve_factor·len, min reserve_min)
+    so appends don't move data until a list overflows (then the host repacks
+    — the analog of the reference's grow-with-copy, IVFAppend.swift:633).
+    Contiguous lists make probed gathers block-contiguous in HBM.
+  - Probed search gathers candidate rows for (query, probe) pairs and scores
+    them with one batched matmul per query chunk; invalid slots get ±inf
+    sentinels exactly like rerank. Exactness within probed lists ==
+    reference kernel-30 searchKernel30Flat (IVFIndex.swift:862-985).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vectorindex_tpu.ops import scoring
+from vectorindex_tpu.ops.topk import INVALID_DIST, INVALID_ID, topk, topk_padded
+from vectorindex_tpu.utils.config import Metric
+
+Array = jax.Array
+
+RESERVE_FACTOR = 2.0  # reference IVFAppendOpts.reserve_factor
+RESERVE_MIN = 256  # reference IVFAppendOpts.reserve_min
+
+
+# ---------------------------------------------------------------------------
+# #29 — coarse selection
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("nprobe", "metric"))
+def ivf_select(
+    q: Array,
+    centroids: Array,
+    *,
+    nprobe: int,
+    metric: Metric = Metric.L2,
+    centroid_sqnorms: Optional[Array] = None,
+    centroid_invnorms: Optional[Array] = None,
+    disabled: Optional[Array] = None,
+) -> Tuple[Array, Array]:
+    """Top-nprobe centroids per query → (dist [B,nprobe], list_ids [B,nprobe]).
+
+    Reference ivf_select_nprobe_f32 (IVFSelect.swift:78) with the
+    disabledLists mask (IVFSelectOpts.disabledLists) as a boolean array.
+    """
+    norms = scoring.NormCache(sq=centroid_sqnorms, inv=centroid_invnorms)
+    dist = scoring.distance_block(q, centroids, metric, norms=norms)
+    if disabled is not None:
+        dist = jnp.where(disabled[None, :], INVALID_DIST, dist)
+    return topk(dist, min(nprobe, centroids.shape[0]), strict_ties=True)
+
+
+# ---------------------------------------------------------------------------
+# #30 — CSR list storage (host control plane / device data plane)
+# ---------------------------------------------------------------------------
+
+
+class IVFListArrays(NamedTuple):
+    """Device-side view of the CSR list storage."""
+
+    vecs: Array  # [N_pad, d] sorted by list, storage dtype
+    row_ids: Array  # [N_pad] int32 internal id per row (-1 for padding)
+    sqnorms: Array  # [N_pad] f32
+    starts: Array  # [kc] int32 list start offsets
+    lengths: Array  # [kc] int32 live lengths
+
+
+class IVFListStore:
+    """Host-managed per-list growable storage (reference IVFListHandle,
+    IVFAppend.swift:220). Rows are (internal_id, vector); assignment to lists
+    comes from the coarse quantizer. Appending within a list's reserved
+    capacity is O(1); overflow triggers a repack of the flat arrays (the
+    reference grows a single list with copy, IVFAppend.swift:633-712)."""
+
+    def __init__(self, n_lists: int, dim: int):
+        self.n_lists = n_lists
+        self.dim = dim
+        self._lists_ids: list[list[int]] = [[] for _ in range(n_lists)]
+        self._lists_vecs: list[list[np.ndarray]] = [[] for _ in range(n_lists)]
+        self._caps = np.zeros(n_lists, dtype=np.int64)
+        self._dirty = True  # needs repack/resync
+        self._packed = None  # host CSR mirror
+        self._dev: Optional[IVFListArrays] = None
+
+    # -- mutation --
+
+    def append(self, list_id: int, internal_id: int, vec: np.ndarray) -> None:
+        self._lists_ids[list_id].append(internal_id)
+        self._lists_vecs[list_id].append(np.asarray(vec, dtype=np.float32))
+        if len(self._lists_ids[list_id]) > self._caps[list_id]:
+            self._dirty = True  # overflow → repack on next sync
+        else:
+            # in-place append into the packed mirror
+            if self._packed is not None and not self._dirty:
+                start = self._packed["starts"][list_id]
+                ln = self._packed["lengths"][list_id]
+                self._packed["vecs"][start + ln] = self._lists_vecs[list_id][-1]
+                self._packed["row_ids"][start + ln] = internal_id
+                self._packed["sqnorms"][start + ln] = float(
+                    np.dot(vec, vec)
+                )
+                self._packed["lengths"][list_id] += 1
+                self._dev = None  # device copy stale
+
+    def append_batch(self, list_ids, internal_ids, vecs) -> None:
+        vecs = np.asarray(vecs, dtype=np.float32)
+        for l, i, v in zip(np.asarray(list_ids), np.asarray(internal_ids), vecs):
+            self._lists_ids[int(l)].append(int(i))
+            self._lists_vecs[int(l)].append(v)
+        self._dirty = True
+
+    def remove(self, list_id: int, internal_id: int) -> bool:
+        try:
+            pos = self._lists_ids[list_id].index(internal_id)
+        except ValueError:
+            return False
+        self._lists_ids[list_id].pop(pos)
+        self._lists_vecs[list_id].pop(pos)
+        self._dirty = True
+        return True
+
+    def clear(self) -> None:
+        self._lists_ids = [[] for _ in range(self.n_lists)]
+        self._lists_vecs = [[] for _ in range(self.n_lists)]
+        self._caps[:] = 0
+        self._dirty = True
+        self._dev = None
+
+    # -- packing --
+
+    @staticmethod
+    def _cap_for(n: int) -> int:
+        want = max(int(n * RESERVE_FACTOR), RESERVE_MIN)
+        return 1 << (want - 1).bit_length()
+
+    def _repack(self) -> None:
+        lengths = np.array([len(l) for l in self._lists_ids], dtype=np.int32)
+        self._caps = np.array([self._cap_for(n) for n in lengths], dtype=np.int64)
+        starts = np.zeros(self.n_lists, dtype=np.int32)
+        total = 0
+        for i in range(self.n_lists):
+            starts[i] = total
+            total += int(self._caps[i])
+        vecs = np.zeros((max(total, 1), self.dim), dtype=np.float32)
+        row_ids = np.full(max(total, 1), -1, dtype=np.int32)
+        for i in range(self.n_lists):
+            n = lengths[i]
+            if n:
+                v = np.stack(self._lists_vecs[i])
+                vecs[starts[i] : starts[i] + n] = v
+                row_ids[starts[i] : starts[i] + n] = self._lists_ids[i]
+        sqnorms = np.einsum("nd,nd->n", vecs, vecs, dtype=np.float32)
+        self._packed = {
+            "vecs": vecs,
+            "row_ids": row_ids,
+            "sqnorms": sqnorms,
+            "starts": starts,
+            "lengths": lengths,
+        }
+        self._dirty = False
+        self._dev = None
+
+    def sync_device(self, storage_dtype=jnp.float32) -> IVFListArrays:
+        if self._dirty or self._packed is None:
+            self._repack()
+        if self._dev is None:
+            p = self._packed
+            self._dev = IVFListArrays(
+                vecs=jnp.asarray(p["vecs"], dtype=storage_dtype),
+                row_ids=jnp.asarray(p["row_ids"]),
+                sqnorms=jnp.asarray(p["sqnorms"]),
+                starts=jnp.asarray(p["starts"]),
+                lengths=jnp.asarray(p["lengths"]),
+            )
+        return self._dev
+
+    @property
+    def max_length(self) -> int:
+        return max((len(l) for l in self._lists_ids), default=0)
+
+    def list_stats(self) -> dict:
+        """Reference getListStats (IVFAppend.swift:317)."""
+        lengths = np.array([len(l) for l in self._lists_ids])
+        total = int(lengths.sum())
+        return {
+            "n_lists": self.n_lists,
+            "total": total,
+            "max_len": int(lengths.max()) if len(lengths) else 0,
+            "min_len": int(lengths.min()) if len(lengths) else 0,
+            "mean_len": float(lengths.mean()) if len(lengths) else 0.0,
+            "empty_lists": int((lengths == 0).sum()),
+            "reserved_rows": int(self._caps.sum()),
+        }
+
+    def read_list(self, list_id: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Zero-copy-ish host view (reference readList, IVFAppend.swift:366)."""
+        ids = np.asarray(self._lists_ids[list_id], dtype=np.int32)
+        vecs = (
+            np.stack(self._lists_vecs[list_id])
+            if self._lists_ids[list_id]
+            else np.zeros((0, self.dim), np.float32)
+        )
+        return ids, vecs
+
+
+# ---------------------------------------------------------------------------
+# probed search (#29 + #40 fused): select lists → gather rows → score → topk
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("nprobe", "probe_cap", "k", "metric", "query_chunk"))
+def ivf_search_flat(
+    q: Array,
+    centroids: Array,
+    arrays: IVFListArrays,
+    *,
+    nprobe: int,
+    probe_cap: int,
+    k: int,
+    metric: Metric = Metric.L2,
+    query_chunk: int = 16,
+) -> Tuple[Array, Array]:
+    """IVF-Flat probed search → (dist [B,k], internal ids [B,k]).
+
+    probe_cap: static per-list row budget (≥ max list length for exact
+    probing — bucketed pow2 so recompiles are O(log max_len)).
+    Rebuild of searchKernel30Flat (IVFIndex.swift:862): #29 select →
+    contiguous readList gather → ScoreBlock → TopK, all batched; the
+    reference's candidate packing list<<32|offset becomes direct internal-id
+    gather since rows carry their ids.
+    """
+    b = q.shape[0]
+    _, probe_lists = ivf_select(q, centroids, nprobe=nprobe, metric=metric)
+
+    def chunk_fn(qc_and_pl):
+        qc, pl = qc_and_pl  # [C, d], [C, nprobe]
+        starts = arrays.starts[pl]  # [C, nprobe]
+        lens = arrays.lengths[pl]
+        # candidate row indices: [C, nprobe, probe_cap]
+        offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, probe_cap), 2)
+        rows = starts[:, :, None] + offs
+        valid = offs < lens[:, :, None]
+        rows = jnp.where(valid, rows, 0)
+        cand = rows.reshape(qc.shape[0], nprobe * probe_cap)
+        vmask = valid.reshape(qc.shape[0], nprobe * probe_cap)
+        xg = arrays.vecs[cand]  # [C, P, d]
+        sg = arrays.sqnorms[cand]
+        ig = arrays.row_ids[cand]
+        # per-query scoring: qc [C, d] vs xg [C, P, d]
+        g = jnp.einsum(
+            "cd,cpd->cp", qc.astype(jnp.float32), xg.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        if metric == Metric.L2:
+            qn = jnp.sum(jnp.square(qc.astype(jnp.float32)), axis=-1)
+            dist = jnp.maximum(qn[:, None] + sg - 2.0 * g, 0.0)
+        elif metric == Metric.INNER_PRODUCT:
+            dist = -g
+        elif metric == Metric.COSINE:
+            qinv = scoring.inv_norms(qc)
+            xinv = jnp.where(sg > 0, jax.lax.rsqrt(jnp.maximum(sg, 1e-30)), 0.0)
+            dist = 1.0 - g * qinv[:, None] * xinv
+        else:
+            raise ValueError(f"ivf_search_flat unsupported metric {metric}")
+        return topk_padded(dist, vmask, k, ids=ig)
+
+    # chunk queries to bound gather memory: [B] → ceil(B/C) chunks
+    c = min(query_chunk, b)
+    pad = (-b) % c
+    if pad:
+        q = jnp.concatenate([q, jnp.zeros((pad, q.shape[1]), q.dtype)])
+        probe_lists = jnp.concatenate(
+            [probe_lists, jnp.zeros((pad, nprobe), probe_lists.dtype)]
+        )
+    qs = q.reshape(-1, c, q.shape[1])
+    pls = probe_lists.reshape(-1, c, nprobe)
+    dists, ids = jax.lax.map(chunk_fn, (qs, pls))
+    dists = dists.reshape(-1, k)[:b]
+    ids = ids.reshape(-1, k)[:b]
+    return dists, ids
+
+
+def probe_cap_for(max_len: int) -> int:
+    """Bucketed static probe capacity (pow2, ≥ RESERVE_MIN)."""
+    return 1 << max(max_len - 1, RESERVE_MIN - 1).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# #40 — standalone exact rerank (used by PQ paths; IVF-Flat scoring is
+# already exact within probed lists)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("k", "metric"))
+def rerank_exact_topk(
+    q: Array,
+    candidates: Array,  # [B, C] row indices into vecs (may contain INVALID_ID)
+    vecs: Array,  # [N, d]
+    sqnorms: Array,  # [N]
+    *,
+    k: int,
+    metric: Metric = Metric.L2,
+    cand_ids: Optional[Array] = None,  # ids to report; default = candidates
+) -> Tuple[Array, Array]:
+    """Re-score candidate rows exactly and select top-k (reference
+    rerank_exact_topk, ExactRerank.swift:655). Missing rows (INVALID_ID)
+    get +inf sentinels (:76-78)."""
+    missing = candidates == INVALID_ID
+    rows = jnp.where(missing, 0, candidates)
+    xg = vecs[rows]  # [B, C, d]
+    sg = sqnorms[rows]
+    g = jnp.einsum(
+        "bd,bcd->bc", q.astype(jnp.float32), xg.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    if metric == Metric.L2:
+        qn = jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1)
+        dist = jnp.maximum(qn[:, None] + sg - 2.0 * g, 0.0)
+    elif metric == Metric.INNER_PRODUCT:
+        dist = -g
+    elif metric == Metric.COSINE:
+        qinv = scoring.inv_norms(q)
+        xinv = jnp.where(sg > 0, jax.lax.rsqrt(jnp.maximum(sg, 1e-30)), 0.0)
+        dist = 1.0 - g * qinv[:, None] * xinv
+    else:
+        raise ValueError(f"rerank unsupported metric {metric}")
+    ids = candidates if cand_ids is None else cand_ids
+    return topk_padded(dist, ~missing, k, ids=ids)

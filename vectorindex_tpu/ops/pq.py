@@ -1,0 +1,305 @@
+"""Product quantization: training, encoding, LUT build, ADC scan, residuals.
+
+Parity targets:
+  - #19 PQ train    Kernels/PQTrain.swift:83 (pq_train_f32: per-subspace
+    k-means, subspaces trained in parallel; residual mode via
+    coarseCentroids+assignments args :89-90; streaming :390)
+  - #20 PQ encode   Operations/Quantization/PQEncode.swift:66-452 +
+    Sources/CPQEncode/pq_encode.c (u8 ks=256 / u4 ks=16 nearest-centroid
+    assignment, direct-L2 and dot-trick paths :279-450, residual variants,
+    u4 pack)
+  - #21 PQ LUT      Operations/Quantization/PQLUT.swift:183-419
+    (pq_query_subnorms, pq_lut_l2, fused residual LUT for IVF-PQ :287,
+    batch LUT :419)
+  - #22 ADC scan    Operations/Quantization/ADCScan.swift:54-148
+    (dist(i)=Σ_j LUT[j, code[i,j]] gather-accumulate, u8/u4)
+  - #23 residuals   Kernels/ResidualKernel.swift:148 (r = x − c[assign])
+
+TPU-native design:
+  - training vmaps the k-means stack over the m subspaces — the reference's
+    per-subspace thread pool becomes a batch dimension.
+  - encoding is a chunked batched argmin over codebooks (dot-trick on the
+    MXU), not a NEON scan loop.
+  - ADC offers two device strategies:
+      'gather'  — flat-indexed LUT gather (XLA gather; wins at small batch)
+      'onehot'  — one-hot(codes) @ LUTᵀ on the MXU (wins at large batch:
+                  the one-hot matrix is shared across all queries in the
+                  batch, so the scan rides the systolic array)
+    Both are exact; chunked over rows to bound memory.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vectorindex_tpu.ops import kmeans as km
+from vectorindex_tpu.ops import rng as vrng
+from vectorindex_tpu.ops.dtypes import pack_u4, unpack_u4
+
+Array = jax.Array
+
+
+class PQCodebooks(NamedTuple):
+    """codebooks [m, ks, dsub] + cached squared norms [m, ks]."""
+
+    centroids: Array
+    sqnorms: Array
+
+    @property
+    def m(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def ks(self) -> int:
+        return self.centroids.shape[1]
+
+    @property
+    def dsub(self) -> int:
+        return self.centroids.shape[2]
+
+
+def _split_subspaces(x: Array, m: int) -> Array:
+    n, d = x.shape
+    assert d % m == 0, f"dimension {d} not divisible by m={m}"
+    return x.reshape(n, m, d // m).transpose(1, 0, 2)  # [m, n, dsub]
+
+
+# ---------------------------------------------------------------------------
+# #19 — training
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("m", "ks", "iters"))
+def pq_train(
+    key: Array,
+    x: Array,
+    *,
+    m: int,
+    ks: int = 256,
+    iters: int = 25,
+) -> PQCodebooks:
+    """Train per-subspace codebooks (reference pq_train_f32, PQTrain.swift:83;
+    maxIters default 25). Subspaces train in parallel via vmap — each gets an
+    independent RNG stream (reference SubspaceAccumulator parallelism)."""
+    xt = _split_subspaces(x, m)  # [m, n, dsub]
+    keys = jax.random.split(key, m)
+
+    def train_one(k_, xs):
+        seed = km.kmeans_pp_seed(k_, xs, ks)
+        res = km.kmeans_lloyd(k_, xs, seed, k=ks, iters=iters)
+        return res.centroids
+
+    cents = jax.vmap(train_one)(keys, xt)  # [m, ks, dsub]
+    sqn = jnp.sum(jnp.square(cents), axis=-1)
+    return PQCodebooks(cents, sqn)
+
+
+def pq_train_residual(
+    key: Array,
+    x: Array,
+    coarse_centroids: Array,
+    assignments: Array,
+    *,
+    m: int,
+    ks: int = 256,
+    iters: int = 25,
+) -> PQCodebooks:
+    """Residual-PQ training for IVF-PQ (reference pq_train_f32 residual mode,
+    PQTrain.swift:89-90): train on r = x − c[assign] (#23)."""
+    res = residuals(x, coarse_centroids, assignments)
+    return pq_train(key, res, m=m, ks=ks, iters=iters)
+
+
+# ---------------------------------------------------------------------------
+# #23 — residuals
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def residuals(x: Array, coarse_centroids: Array, assignments: Array) -> Array:
+    """r = x − c[assign] (reference residuals_f32, ResidualKernel.swift:148)."""
+    return x - coarse_centroids[assignments]
+
+
+# ---------------------------------------------------------------------------
+# #20 — encoding
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def pq_encode(x: Array, books: PQCodebooks, chunk: int = 4096) -> Array:
+    """Encode rows → codes [n, m] (u8). Nearest centroid per subspace via the
+    dot-trick on the MXU (reference pq_encode_u8_f32 withCSQ — the cached
+    codebook sq-norms are books.sqnorms, cpq_encode.h:54-64). Chunked over
+    rows so the [chunk, m, ks] distance tensor stays small."""
+    n, d = x.shape
+    m, ks, dsub = books.centroids.shape
+    pad = (-n) % chunk
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, d), x.dtype)])
+
+    xs = x.reshape(-1, chunk, d)
+
+    def enc(xc):
+        xt = xc.reshape(chunk, m, dsub)
+        dots = jnp.einsum(
+            "nmd,mkd->nmk", xt.astype(jnp.float32), books.centroids,
+            preferred_element_type=jnp.float32,
+        )
+        d2 = books.sqnorms[None] - 2.0 * dots  # ‖x‖² term constant per argmin
+        return jnp.argmin(d2, axis=-1).astype(jnp.uint8)
+
+    codes = jax.lax.map(enc, xs).reshape(-1, m)
+    return codes[:n]
+
+
+def pq_encode_u4(x: Array, books: PQCodebooks, chunk: int = 4096) -> Array:
+    """u4 encode (ks ≤ 16) with nibble packing → [n, m//2] bytes (reference
+    pq_encode_u4_f32, PQEncode.swift:178)."""
+    assert books.ks <= 16, "u4 encode requires ks <= 16"
+    return pack_u4(pq_encode(x, books, chunk=chunk))
+
+
+def pq_encode_residual(
+    x: Array,
+    coarse_centroids: Array,
+    assignments: Array,
+    books: PQCodebooks,
+    chunk: int = 4096,
+) -> Array:
+    """Residual encode for IVF-PQ (reference pq_encode_u8_residual,
+    PQEncode.swift:241-444)."""
+    return pq_encode(residuals(x, coarse_centroids, assignments), books, chunk=chunk)
+
+
+@jax.jit
+def pq_decode(codes: Array, books: PQCodebooks) -> Array:
+    """Reconstruct vectors from codes (for tests / reconstruction error)."""
+    n, m = codes.shape
+    gathered = books.centroids[
+        jnp.arange(m)[None, :], codes.astype(jnp.int32)
+    ]  # [n, m, dsub]
+    return gathered.reshape(n, m * books.dsub)
+
+
+# ---------------------------------------------------------------------------
+# #21 — LUT build
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def pq_lut_l2(q: Array, books: PQCodebooks) -> Array:
+    """L[b, j, k] = ‖q_j − C_j[k]‖² (reference pq_lut_l2_f32, PQLUT.swift:200;
+    dot-trick like PQLutOpts.useDotTrick auto at ks≥64). [B, m, ks]."""
+    b, d = q.shape
+    m, ks, dsub = books.centroids.shape
+    qt = q.reshape(b, m, dsub).astype(jnp.float32)
+    dots = jnp.einsum(
+        "bmd,mkd->bmk", qt, books.centroids, preferred_element_type=jnp.float32
+    )
+    qsq = jnp.sum(jnp.square(qt), axis=-1)  # [B, m]
+    return jnp.maximum(qsq[:, :, None] + books.sqnorms[None] - 2.0 * dots, 0.0)
+
+
+@jax.jit
+def pq_lut_ip(q: Array, books: PQCodebooks) -> Array:
+    """Inner-product LUT: L[b, j, k] = −⟨q_j, C_j[k]⟩ so ADC sums are
+    ascending distances."""
+    b, d = q.shape
+    m, ks, dsub = books.centroids.shape
+    qt = q.reshape(b, m, dsub).astype(jnp.float32)
+    return -jnp.einsum(
+        "bmd,mkd->bmk", qt, books.centroids, preferred_element_type=jnp.float32
+    )
+
+
+@jax.jit
+def pq_lut_residual_l2(
+    q: Array, coarse_centroids: Array, lists: Array, books: PQCodebooks
+) -> Array:
+    """Fused residual LUT for IVF-PQ (reference pq_lut_residual_l2_f32,
+    PQLUT.swift:287): for each (query b, probed list p), the LUT of
+    (q − c_list) against the codebooks. lists [B, P] → [B, P, m, ks]."""
+    b = q.shape[0]
+    p = lists.shape[1]
+    m, ks, dsub = books.centroids.shape
+    rq = q[:, None, :] - coarse_centroids[lists]  # [B, P, d]
+    rt = rq.reshape(b, p, m, dsub).astype(jnp.float32)
+    dots = jnp.einsum(
+        "bpmd,mkd->bpmk", rt, books.centroids, preferred_element_type=jnp.float32
+    )
+    rsq = jnp.sum(jnp.square(rt), axis=-1)  # [B, P, m]
+    return jnp.maximum(rsq[..., None] + books.sqnorms[None, None] - 2.0 * dots, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# #22 — ADC scan
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("strategy", "chunk"))
+def adc_scan(
+    codes: Array,
+    lut: Array,
+    *,
+    strategy: str = "onehot",
+    chunk: int = 8192,
+) -> Array:
+    """dist[b, i] = Σ_j LUT[b, j, codes[i, j]] (reference adc_scan_u8,
+    ADCScan.swift:54). codes [n, m] u8, lut [B, m, ks] → [B, n] f32.
+
+    strategy='onehot': one-hot(codes) [chunk, m·ks] @ lutᵀ [m·ks, B] — the
+    one-hot expansion is shared by every query in the batch, so each corpus
+    byte is touched once per batch while the accumulation rides the MXU.
+    strategy='gather': flat-index XLA gather; better at B ≲ 8.
+    """
+    n, m = codes.shape
+    b, m2, ks = lut.shape
+    assert m2 == m
+    lut_flat = lut.reshape(b, m * ks)
+    offsets = (jnp.arange(m, dtype=jnp.int32) * ks)[None, :]
+    pad = (-n) % chunk
+    codes_p = jnp.concatenate([codes, jnp.zeros((pad, m), codes.dtype)]) if pad else codes
+    cs = codes_p.reshape(-1, chunk, m)
+
+    if strategy == "onehot":
+        lut_t = lut_flat.T  # [m·ks, B]
+        # bf16 one-hot rides the MXU on TPU; the CPU backend lacks
+        # bf16×bf16→f32 dots, so fall back to f32 there (same results — the
+        # one-hot side is exact either way)
+        oh_dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+
+        def scan_chunk(cc):
+            flat = cc.astype(jnp.int32) + offsets  # [chunk, m]
+            oh = jax.nn.one_hot(flat, m * ks, dtype=oh_dtype).sum(axis=1)
+            return jax.lax.dot_general(
+                oh,
+                lut_t.astype(oh_dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).T  # [B, chunk]
+
+        out = jax.lax.map(scan_chunk, cs)  # [nc, B, chunk]
+        return out.transpose(1, 0, 2).reshape(b, -1)[:, :n]
+
+    if strategy == "gather":
+
+        def scan_chunk(cc):
+            flat = cc.astype(jnp.int32) + offsets  # [chunk, m]
+            g = jnp.take(lut_flat, flat.reshape(-1), axis=1)  # [B, chunk*m]
+            return g.reshape(b, chunk, m).sum(axis=-1)  # [B, chunk]
+
+        out = jax.lax.map(scan_chunk, cs)
+        return out.transpose(1, 0, 2).reshape(b, -1)[:, :n]
+
+    raise ValueError(f"unknown ADC strategy {strategy!r}")
+
+
+def adc_scan_u4(packed_codes: Array, lut: Array, **kw) -> Array:
+    """u4 variant: unpack nibbles then scan (reference adc_scan_u4,
+    ADCScan.swift:99). lut must have ks ≤ 16."""
+    return adc_scan(unpack_u4(packed_codes), lut, **kw)
