@@ -1,0 +1,195 @@
+"""IVF-PQ: ADC search ops + index end-to-end (reference ADC pipeline
+SURVEY.md §3.3 variant, Kernel30AppendTests / IVFPostADC patterns)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vectorindex_tpu.models.ivf import IVFPQConfig, IVFPQIndex
+from vectorindex_tpu.ops import ivf as ivf_ops
+from vectorindex_tpu.ops import kmeans as km
+from vectorindex_tpu.ops import pq as pq_ops
+from vectorindex_tpu.ops import rng as vrng
+from vectorindex_tpu.ops.ivf_pq import ivf_search_pq, rerank_rows
+from vectorindex_tpu.utils.config import Metric
+
+
+def _clustered(n=600, d=16, k=12, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((k, d)).astype(np.float32) * 2
+    x = centers[rng.integers(0, k, n)] + 0.2 * rng.standard_normal((n, d)).astype(
+        np.float32
+    )
+    return x.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    x = _clustered()
+    res = km.kmeans(jnp.asarray(x), km.KMeansConfig(k=8, iters=10, seed=1))
+    assigns = np.asarray(res.assignments)
+    store = ivf_ops.IVFListStore(8, 16)
+    store.append_batch(assigns, np.arange(len(x)), x)
+    arrays = store.sync_device()
+    books = pq_ops.pq_train_residual(
+        vrng.make_key(1, 1),
+        jnp.asarray(x),
+        res.centroids,
+        res.assignments,
+        m=4,
+        ks=16,
+        iters=8,
+    )
+    # codes in CSR row order
+    starts, lengths = np.asarray(arrays.starts), np.asarray(arrays.lengths)
+    row_list = np.zeros(arrays.vecs.shape[0], dtype=np.int32)
+    for l in range(8):
+        row_list[starts[l] : starts[l] + lengths[l]] = l
+    codes = pq_ops.pq_encode_residual(
+        arrays.vecs, res.centroids, jnp.asarray(row_list), books
+    )
+    return x, res, store, arrays, books, codes
+
+
+def test_ivf_search_pq_full_probe_matches_adc_bruteforce(setup):
+    x, res, store, arrays, books, codes = setup
+    q = jnp.asarray(x[:6])
+    dist, ids = ivf_search_pq(
+        q,
+        res.centroids,
+        arrays,
+        codes,
+        books,
+        nprobe=8,
+        probe_cap=ivf_ops.probe_cap_for(store.max_length),
+        k=10,
+    )
+    ids = np.asarray(ids)
+    # oracle: ADC distance via decoded residual + coarse centroid
+    assigns = np.asarray(res.assignments)
+    cents = np.asarray(res.centroids)
+    all_codes = pq_ops.pq_encode_residual(
+        jnp.asarray(x), res.centroids, res.assignments, books
+    )
+    recon = np.asarray(pq_ops.pq_decode(all_codes, books)) + cents[assigns]
+    ref_d = ((np.asarray(q)[:, None, :] - recon[None]) ** 2).sum(-1)
+    ref_top = np.sort(ref_d, axis=1)[:, :10]
+    got_top = np.sort(np.asarray(dist), axis=1)
+    np.testing.assert_allclose(got_top, ref_top, rtol=2e-2, atol=2e-2)
+
+
+def test_rerank_rows(setup):
+    x, res, store, arrays, books, codes = setup
+    q = jnp.asarray(x[:3])
+    row_ids = np.asarray(arrays.row_ids)
+    slot_rows = np.full(600, -1, dtype=np.int32)
+    live = row_ids >= 0
+    slot_rows[row_ids[live]] = np.nonzero(live)[0]
+    cands = np.tile(np.arange(100, dtype=np.int32), (3, 1))
+    d, ids = rerank_rows(
+        q,
+        jnp.asarray(cands),
+        jnp.asarray(slot_rows),
+        arrays.vecs,
+        arrays.sqnorms,
+        k=5,
+    )
+    ref = np.argsort(((np.asarray(q)[:, None, :] - x[None, :100]) ** 2).sum(-1), 1)[
+        :, :5
+    ]
+    np.testing.assert_array_equal(np.asarray(ids), ref)
+
+
+def test_ivfpq_index_end_to_end():
+    x = _clustered(800, 32, seed=5)
+    idx = IVFPQIndex(
+        32, config=IVFPQConfig(nlist=8, nprobe=8, m=8, ks=16, rerank=True)
+    )
+    idx.insert_batch([f"v{i}" for i in range(800)], x)
+    idx.optimize()
+    assert idx.trained and idx.pq_trained
+    q = x[:20]
+    truth = np.argsort(((q[:, None, :] - x[None]) ** 2).sum(-1), 1)[:, :10]
+    res = idx.batch_search(q, 10)
+    hits = sum(
+        len({r.id for r in row} & {f"v{i}" for i in truth[b]})
+        for b, row in enumerate(res)
+    )
+    recall = hits / 200
+    assert recall >= 0.8  # full probe + rerank on clustered data
+    # self-hit first
+    assert res[0][0].id == "v0"
+
+
+def test_ivfpq_rerank_improves_recall():
+    x = _clustered(800, 32, seed=6)
+    q = x[:20]
+    truth = np.argsort(((q[:, None, :] - x[None]) ** 2).sum(-1), 1)[:, :10]
+
+    def run(rerank):
+        idx = IVFPQIndex(
+            32,
+            config=IVFPQConfig(nlist=8, nprobe=8, m=4, ks=16, rerank=rerank),
+        )
+        idx.insert_batch(list(range(800)), x)
+        idx.optimize()
+        res = idx.batch_search(q, 10)
+        return (
+            sum(
+                len({r.id for r in row} & set(truth[b].tolist()))
+                for b, row in enumerate(res)
+            )
+            / 200
+        )
+
+    assert run(True) >= run(False) - 0.02
+
+
+def test_ivfpq_insert_after_train():
+    x = _clustered(400, 16, seed=7)
+    idx = IVFPQIndex(16, config=IVFPQConfig(nlist=4, nprobe=4, m=4, ks=16))
+    idx.insert_batch(list(range(300)), x[:300])
+    idx.optimize()
+    idx.insert_batch(list(range(300, 400)), x[300:])
+    res = idx.search(x[350], k=1)
+    assert res[0].id == 350
+    idx.remove(350)
+    assert idx.search(x[350], k=1)[0].id != 350
+
+
+def test_ivfpq_ip_metric():
+    x = _clustered(400, 16, seed=8)
+    idx = IVFPQIndex(
+        16,
+        metric=Metric.INNER_PRODUCT,
+        config=IVFPQConfig(nlist=4, nprobe=4, m=4, ks=16, rerank=True),
+    )
+    idx.insert_batch(list(range(400)), x)
+    idx.optimize()
+    q = x[11]
+    res = idx.search(q, k=5)
+    ref = set(np.argsort(-(x @ q))[:5].tolist())
+    assert len({r.id for r in res} & ref) >= 4  # rerank makes this near-exact
+
+
+def test_ivfpq_persistence_roundtrip(tmp_path):
+    x = _clustered(300, 16, seed=9)
+    idx = IVFPQIndex(16, config=IVFPQConfig(nlist=4, nprobe=4, m=4, ks=16))
+    idx.insert_batch(list(range(300)), x)
+    idx.optimize()
+    p = str(tmp_path / "ivfpq.json")
+    idx.save(p)
+    idx2 = IVFPQIndex.load(p)
+    assert idx2.pq_trained
+    r1 = [r.id for r in idx.search(x[5], k=5)]
+    r2 = [r.id for r in idx2.search(x[5], k=5)]
+    assert r1 == r2
+
+
+def test_ivfpq_config_validation():
+    from vectorindex_tpu.utils.errors import IndexError
+
+    with pytest.raises(IndexError):
+        IVFPQIndex(15, config=IVFPQConfig(m=4))  # 15 % 4 != 0
+    with pytest.raises(IndexError):
+        IVFPQIndex(16, metric=Metric.COSINE)

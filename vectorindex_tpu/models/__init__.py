@@ -7,4 +7,10 @@ from vectorindex_tpu.models.base import (  # noqa: F401
 )
 from vectorindex_tpu.models.filters import JournalFilter  # noqa: F401
 from vectorindex_tpu.models.flat import FlatIndex  # noqa: F401
-from vectorindex_tpu.models.ivf import IVFConfig, IVFIndex  # noqa: F401
+from vectorindex_tpu.models.hnsw import HNSWConfig, HNSWIndex  # noqa: F401
+from vectorindex_tpu.models.ivf import (  # noqa: F401
+    IVFConfig,
+    IVFIndex,
+    IVFPQConfig,
+    IVFPQIndex,
+)

@@ -1,0 +1,767 @@
+"""HNSWIndex — hierarchical small-world graph index, batched-frontier style.
+
+Parity target: reference HNSWIndex.swift —
+  - Configuration m/efConstruction/efSearch/rngSeed/rngStream (:14-27),
+    defaults m=16, efC=200, efS=64, seed 0xDEADBEEFCAFEBABE (:20)
+  - insert: level sample (#35) → greedy descent → per-level searchLayer(efC)
+    → #34 select + bidirectional connect + prune (:438-516)
+  - entry-point promotion when a node's level exceeds maxLevel (:507-510)
+  - delete = tombstone; search excludes tombstones via allow-bitset
+    (:77-92, :112-119); compact() rebuilds (:783-857)
+  - search: greedy descent maxLevel→1, efSearch at L0, ef=max(efSearch,k),
+    L2 scores sqrt-ed at the API boundary (:102-170, :158)
+  - metrics restricted to L2/IP/cosine (:36-49)
+  - save = flat records; graph REBUILT by reinsertion on load (:755-781)
+
+TPU-native design: construction and search run in *chunks/batches* through
+the batched frontier ops (ops/graph.py). The graph is a fixed-degree
+neighbor table per level (M₀ = 2M at level 0, M above), host-authoritative
+with an incrementally-patched device mirror so per-chunk uploads are O(chunk
+· M) not O(N · M). Cosine/IP are handled by vector normalization at the
+storage boundary (cosine == L2 ordering on normalized vectors; the graph
+then uses one distance type on-device, like the reference's sign
+conventions HNSWTraversal.swift:60-70).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vectorindex_tpu.models.base import (
+    FilterFn,
+    IndexStats,
+    Metadata,
+    SearchResult,
+    VectorID,
+    VectorIndex,
+)
+from vectorindex_tpu.ops import graph as gops
+from vectorindex_tpu.ops import rng as vrng
+from vectorindex_tpu.ops.idmap import IDMap
+from vectorindex_tpu.ops.topk import INVALID_ID, topk_padded
+from vectorindex_tpu.persistence.json_snapshot import (
+    PersistedIndex,
+    PersistedRecord,
+    load_snapshot,
+    save_snapshot,
+)
+from vectorindex_tpu.utils.config import Metric
+from vectorindex_tpu.utils.errors import (
+    ErrorBuilder,
+    IndexErrorKind,
+    dimension_mismatch,
+    duplicate_id,
+)
+
+
+@dataclass(frozen=True)
+class HNSWConfig:
+    """Reference HNSWIndex.Configuration (HNSWIndex.swift:14-27)."""
+
+    m: int = 16
+    ef_construction: int = 100
+    ef_search: int = 64
+    seed: int = 0xDEADBEEFCAFEBABE
+    stream: int = 0
+    build_chunk: int = 128  # nodes inserted per batched construction step
+
+
+class _Level:
+    """One graph level: fixed-degree table over level-local rows with a
+    global-id lookup (compact upper levels; level 0 is slot-indexed)."""
+
+    def __init__(self, max_degree: int):
+        self.max_degree = max_degree
+        self.node_ids: list[int] = []  # row -> global slot
+        self.nbrs = np.full((0, max_degree), -1, dtype=np.int32)
+
+    def add_node(self, slot: int) -> int:
+        row = len(self.node_ids)
+        self.node_ids.append(slot)
+        if row >= self.nbrs.shape[0]:
+            grow = max(64, self.nbrs.shape[0])
+            self.nbrs = np.vstack(
+                [self.nbrs, np.full((grow, self.max_degree), -1, dtype=np.int32)]
+            )
+        return row
+
+    @property
+    def count(self) -> int:
+        return len(self.node_ids)
+
+
+class HNSWIndex(VectorIndex):
+    TYPE = "hnsw"
+
+    def __init__(
+        self,
+        dimension: int,
+        metric: Metric = Metric.L2,
+        config: HNSWConfig = HNSWConfig(),
+    ):
+        if metric not in (Metric.L2, Metric.INNER_PRODUCT, Metric.COSINE):
+            raise (
+                ErrorBuilder(IndexErrorKind.UNSUPPORTED_METRIC)
+                .message(f"HNSW supports L2/IP/cosine, got {metric.value}")
+                .build()
+            )
+        self.dimension = dimension
+        self.metric = metric
+        self.config = config
+        cap = 1024
+        self._vectors = np.zeros((cap, dimension), dtype=np.float32)  # raw
+        self._graph_vecs = np.zeros((cap, dimension), dtype=np.float32)  # search space
+        self._valid = np.zeros((cap,), dtype=bool)
+        self._levels = np.full((cap,), -1, dtype=np.int32)
+        self._metadata: list[Metadata] = [None] * cap
+        self._idmap = IDMap()
+        self._next_slot = 0
+        self._pending: list[int] = []  # slots awaiting graph insertion
+        self._layers: list[_Level] = [_Level(2 * config.m)]
+        self._lookup0 = np.full((cap,), -1, dtype=np.int32)
+        self._entry: int = -1
+        self._key = vrng.make_key(config.seed, config.stream)
+        self._level_counter = 0
+        self._dev = None  # (vecs, sqn) device mirror
+        self._dev_layers = None  # list of (nbrs_dev, lookup_dev)
+
+    # ------------------------------------------------------------------
+    # storage
+    # ------------------------------------------------------------------
+
+    @property
+    def count(self) -> int:
+        return len(self._idmap)
+
+    @property
+    def capacity(self) -> int:
+        return self._vectors.shape[0]
+
+    def _grow(self) -> None:
+        old = self.capacity
+        self._vectors = np.vstack([self._vectors, np.zeros_like(self._vectors)])
+        self._graph_vecs = np.vstack(
+            [self._graph_vecs, np.zeros_like(self._graph_vecs)]
+        )
+        self._valid = np.concatenate([self._valid, np.zeros(old, bool)])
+        self._levels = np.concatenate(
+            [self._levels, np.full(old, -1, dtype=np.int32)]
+        )
+        self._lookup0 = np.concatenate(
+            [self._lookup0, np.full(old, -1, dtype=np.int32)]
+        )
+        self._metadata.extend([None] * old)
+        self._dev = None
+        self._dev_layers = None
+
+    def _to_graph_space(self, v: np.ndarray) -> np.ndarray:
+        """Cosine → normalize so L2 ordering == cosine ordering; IP → raw
+        (handled at scoring: we still use L2 graph distances for routing,
+        and re-score top-k by the true metric at the end)."""
+        if self.metric == Metric.COSINE:
+            n = np.linalg.norm(v, axis=-1, keepdims=True)
+            return v / np.maximum(n, 1e-30)
+        return v
+
+    def _check(self, vector) -> np.ndarray:
+        v = np.asarray(vector, dtype=np.float32).reshape(-1)
+        if v.shape[0] != self.dimension:
+            raise dimension_mismatch(self.dimension, v.shape[0], "hnsw.insert")
+        if not np.all(np.isfinite(v)):
+            raise (
+                ErrorBuilder(IndexErrorKind.INVALID_VECTOR)
+                .message("vector contains non-finite values")
+                .build()
+            )
+        return v
+
+    # ------------------------------------------------------------------
+    # CRUD
+    # ------------------------------------------------------------------
+
+    def insert(self, id: VectorID, vector, metadata: Metadata = None) -> None:
+        if id in self._idmap:
+            raise duplicate_id(id, "hnsw.insert")
+        v = self._check(vector)
+        while self._next_slot >= self.capacity:
+            self._grow()
+        slot = self._next_slot
+        self._next_slot += 1
+        self._vectors[slot] = v
+        self._graph_vecs[slot] = self._to_graph_space(v)
+        self._valid[slot] = True
+        self._metadata[slot] = metadata
+        self._idmap.append(id, slot)
+        self._pending.append(slot)
+
+    def insert_batch(self, ids, vectors, metadatas=None) -> None:
+        vectors = np.asarray(vectors, dtype=np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self.dimension:
+            raise dimension_mismatch(
+                self.dimension, vectors.shape[-1], "hnsw.insert_batch"
+            )
+        for i, id_ in enumerate(ids):
+            self.insert(id_, vectors[i], None if metadatas is None else metadatas[i])
+
+    def remove(self, id: VectorID) -> None:
+        """Tombstone delete (reference :77-92): node stays routable, search
+        masks it out via the allow mask."""
+        slot = self._idmap.erase(id)
+        self._valid[slot] = False
+        self._metadata[slot] = None
+        if slot in self._pending:
+            self._pending.remove(slot)
+        self._dev = None
+
+    def update(self, id: VectorID, vector=None, metadata: Metadata = None) -> None:
+        slot = self._idmap.lookup(id)
+        if vector is not None:
+            # re-position = remove from graph concerns + reinsert as new slot
+            meta = self._metadata[slot] if metadata is None else metadata
+            self.remove(id)
+            self.insert(id, vector, meta)
+            return
+        if metadata is not None:
+            self._metadata[slot] = metadata
+
+    def contains(self, id: VectorID) -> bool:
+        return id in self._idmap
+
+    # ------------------------------------------------------------------
+    # construction (batched chunks)
+    # ------------------------------------------------------------------
+
+    def _sync_vec_device(self):
+        if self._dev is None:
+            gv = jnp.asarray(self._graph_vecs)
+            sqn = jnp.asarray(
+                np.einsum(
+                    "nd,nd->n", self._graph_vecs, self._graph_vecs, dtype=np.float32
+                )
+            )
+            self._dev = (gv, sqn)
+        return self._dev
+
+    def _sync_layer_device(self, l: int):
+        if self._dev_layers is None:
+            self._dev_layers = [None] * len(self._layers)
+        while len(self._dev_layers) < len(self._layers):
+            self._dev_layers.append(None)
+        if self._dev_layers[l] is None:
+            layer = self._layers[l]
+            n = max(layer.count, 1)
+            nbrs = jnp.asarray(layer.nbrs[:n])
+            if l == 0:
+                lookup = None
+            else:
+                lk = np.full((self.capacity,), -1, dtype=np.int32)
+                lk[np.asarray(layer.node_ids, dtype=np.int64)] = np.arange(
+                    layer.count, dtype=np.int32
+                )
+                lookup = jnp.asarray(lk)
+            self._dev_layers[l] = (nbrs, lookup)
+        return self._dev_layers[l]
+
+    def _invalidate_layer(self, l: int):
+        if self._dev_layers is not None and l < len(self._dev_layers):
+            self._dev_layers[l] = None
+
+    def _ensure_built(self) -> None:
+        """Flush pending slots into the graph in batched chunks."""
+        if not self._pending:
+            return
+        self._dev = None
+        pending = self._pending
+        self._pending = []
+        # doubling schedule: early chunks are small so every node sees a
+        # meaningfully-built graph (batched construction quality depends on
+        # the graph:chunk size ratio)
+        n_before = self._layers[0].count
+        i = 0
+        while i < len(pending):
+            c = min(
+                self.config.build_chunk, max(8, self._layers[0].count)
+            )
+            self._build_chunk(pending[i : i + c])
+            i += c
+        # refinement: batched insertion strands early nodes whose reverse
+        # edges got pruned as the graph densified (sequential HNSW re-links
+        # them when their true neighbors arrive). One pass of re-deriving
+        # every node's out-edges from a fresh self-search + symmetrization
+        # restores connectivity (NN-descent-style). Only worth it after a
+        # bulk build — trickle inserts integrate fine without it.
+        if len(pending) >= max(64, n_before // 4):
+            self._refine_level0()
+        self._repair_orphans()
+
+    def _sample_level(self) -> int:
+        lvl = int(
+            np.asarray(
+                gops.sample_levels(
+                    vrng.split_stream(self._key, self._level_counter),
+                    1,
+                    self.config.m,
+                )
+            )[0]
+        )
+        self._level_counter += 1
+        return lvl
+
+    def _build_chunk(self, slots: list[int]) -> None:
+        cfg = self.config
+        chunk_levels = [self._sample_level() for _ in slots]
+
+        if self._entry < 0:
+            # bootstrap: first node becomes entry at its level
+            first, *rest = slots
+            lvl = chunk_levels[0]
+            self._levels[first] = lvl
+            for l in range(0, lvl + 1):
+                self._ensure_layer(l)
+                row = self._layers[l].add_node(first)
+                if l == 0:
+                    self._lookup0[first] = row
+                self._invalidate_layer(l)
+            self._entry = first
+            if not rest:
+                return
+            slots = rest
+            chunk_levels = chunk_levels[1:]
+
+        q = jnp.asarray(self._graph_vecs[np.asarray(slots, dtype=np.int64)])
+        gv, sqn = self._sync_vec_device()
+        b = len(slots)
+        max_level = len(self._layers) - 1
+        entry = jnp.full((b,), self._entry, dtype=jnp.int32)
+
+        # greedy descent through upper levels
+        for l in range(max_level, 0, -1):
+            nbrs, lookup = self._sync_layer_device(l)
+            steps = max(4, int(np.log2(max(self._layers[l].count, 2))) + 2)
+            entry = gops.greedy_descent(q, gv, sqn, nbrs, lookup, entry, steps=steps)
+
+        # level-0 candidates via batched beam
+        nbrs0, _ = self._sync_layer_device(0)
+        lookup0 = jnp.asarray(self._lookup0)
+        ef = min(cfg.ef_construction, max(self._layers[0].count, 1))
+        iters = min(ef, 64)
+        beam = gops.beam_search(
+            q, gv, sqn, nbrs0, lookup0, entry, ef=ef, iters=iters
+        )
+        # chunk-internal candidates: batched insertion means chunk members
+        # aren't in the graph yet — add each member's within-chunk nearest
+        # neighbors to the candidate pool so intra-chunk edges form
+        xc = self._graph_vecs[np.asarray(slots, dtype=np.int64)]
+        dcc = ((xc[:, None, :] - xc[None, :, :]) ** 2).sum(-1).astype(np.float32)
+        np.fill_diagonal(dcc, np.inf)
+        n_int = min(cfg.m, b - 1) if b > 1 else 0
+        if n_int > 0:
+            order = np.argsort(dcc, axis=1)[:, :n_int]
+            int_ids = np.asarray(slots, dtype=np.int32)[order]
+            int_d = np.take_along_axis(dcc, order, axis=1)
+            all_d = jnp.concatenate([beam.dists, jnp.asarray(int_d)], axis=1)
+            all_i = jnp.concatenate([beam.ids, jnp.asarray(int_ids)], axis=1)
+            sd, si = jax.lax.sort((all_d, all_i), dimension=-1, num_keys=2)
+            cand_d, cand_i = sd[:, :ef], si[:, :ef]
+        else:
+            cand_d, cand_i = beam.dists, beam.ids
+        selected = np.asarray(
+            gops.select_neighbors_diverse(cand_d, cand_i, gv, sqn, m=cfg.m)
+        )  # [b, m] global slot ids
+
+        # register all chunk rows first so intra-chunk reverse edges resolve
+        layer0 = self._layers[0]
+        for j, slot in enumerate(slots):
+            self._levels[slot] = chunk_levels[j]
+            row = layer0.add_node(slot)
+            self._lookup0[slot] = row
+
+        # connect at level 0 (host authoritative)
+        for j, slot in enumerate(slots):
+            row = self._lookup0[slot]
+            sel_rows = [int(s) for s in selected[j] if s != INVALID_ID]
+            nb = layer0.nbrs
+            nb[row, : len(sel_rows)] = sel_rows
+            for s in sel_rows:
+                srow = self._lookup0[s]
+                lst = nb[srow]
+                free = np.nonzero(lst < 0)[0]
+                if len(free):
+                    lst[free[0]] = slot
+                else:
+                    # overflow: prune by diversity (host mini-version)
+                    cand = np.concatenate([lst, [slot]])
+                    nb[srow] = self._prune_host(s, cand)[: layer0.max_degree]
+        self._invalidate_layer(0)
+
+        # upper-level insertion (few nodes; host-side with numpy distances)
+        for j, slot in enumerate(slots):
+            lvl = chunk_levels[j]
+            for l in range(1, lvl + 1):
+                self._ensure_layer(l)
+                self._insert_upper_host(slot, l)
+                self._invalidate_layer(l)
+            if lvl > max_level and lvl >= 0:
+                self._entry = slot  # entry promotion (reference :507-510)
+                max_level = lvl
+
+    def _refine_level0(self) -> None:
+        """Re-derive level-0 adjacency: for every node, beam-search its own
+        vector, merge (search candidates ∪ old out-edges ∪ old in-edges),
+        re-select diverse + fill, then symmetrize reverse edges."""
+        layer0 = self._layers[0]
+        n = layer0.count
+        if n < 16:
+            return
+        cfg = self.config
+        gv, sqn = self._sync_vec_device()
+        slots_all = np.asarray(layer0.node_ids, dtype=np.int64)
+        old_nbrs = layer0.nbrs[:n].copy()
+        # reverse adjacency (host)
+        rev: list[list[int]] = [[] for _ in range(self.capacity)]
+        for r in range(n):
+            src = layer0.node_ids[r]
+            for v in old_nbrs[r]:
+                if v >= 0:
+                    rev[v].append(src)
+
+        self._invalidate_layer(0)
+        nbrs0, _ = self._sync_layer_device(0)
+        lookup0 = jnp.asarray(self._lookup0)
+        ef = min(cfg.ef_construction, n)
+        new_nbrs = np.full_like(old_nbrs, -1)
+        c = cfg.build_chunk
+        for i in range(0, n, c):
+            batch_slots = slots_all[i : i + c]
+            q = jnp.asarray(self._graph_vecs[batch_slots])
+            entry = jnp.full((len(batch_slots),), self._entry, dtype=jnp.int32)
+            beam = gops.beam_search(
+                q, gv, sqn, nbrs0, lookup0, entry, ef=ef, iters=min(ef, 64)
+            )
+            bd = np.asarray(beam.dists)
+            bi = np.asarray(beam.ids)
+            # merge old out/in edges into the candidate pool
+            extra_ids = []
+            for j, s in enumerate(batch_slots):
+                row = self._lookup0[s]
+                merged = set(
+                    int(v) for v in old_nbrs[row] if v >= 0
+                ) | set(rev[s])
+                merged.discard(int(s))
+                extra_ids.append(sorted(merged))
+            width = max((len(e) for e in extra_ids), default=0)
+            if width:
+                ex = np.full((len(batch_slots), width), INVALID_ID, dtype=np.int32)
+                for j, e in enumerate(extra_ids):
+                    ex[j, : len(e)] = e
+                ex_safe = np.where(ex != INVALID_ID, ex, 0)
+                exd = np.where(
+                    ex != INVALID_ID,
+                    (
+                        (
+                            self._graph_vecs[ex_safe]
+                            - self._graph_vecs[batch_slots][:, None, :]
+                        )
+                        ** 2
+                    ).sum(-1),
+                    np.inf,
+                ).astype(np.float32)
+                all_d = jnp.concatenate([jnp.asarray(bd), jnp.asarray(exd)], axis=1)
+                all_i = jnp.concatenate([jnp.asarray(bi), jnp.asarray(ex)], axis=1)
+                sd, si = jax.lax.sort((all_d, all_i), dimension=-1, num_keys=2)
+                cd, ci = sd[:, :ef], si[:, :ef]
+            else:
+                cd, ci = jnp.asarray(bd), jnp.asarray(bi)
+            # drop self + duplicates (candidates are (d, i)-sorted, so dup
+            # ids sit adjacent)
+            ci_np = np.array(ci)
+            cd_np = np.array(cd)
+            self_mask = ci_np == batch_slots[:, None]
+            dup_mask = np.zeros_like(self_mask)
+            dup_mask[:, 1:] = ci_np[:, 1:] == ci_np[:, :-1]
+            kill = self_mask | dup_mask
+            cd_np[kill] = np.inf
+            ci_np[kill] = INVALID_ID
+            sel = np.asarray(
+                gops.select_neighbors_diverse(
+                    jnp.asarray(cd_np), jnp.asarray(ci_np), gv, sqn, m=cfg.m
+                )
+            )
+            for j, s in enumerate(batch_slots):
+                row = self._lookup0[s]
+                picks = [int(v) for v in sel[j] if v != INVALID_ID]
+                new_nbrs[row, :] = -1
+                new_nbrs[row, : len(picks)] = picks
+
+        layer0.nbrs[:n] = new_nbrs
+        # symmetrize: ensure each out-edge has a reverse edge (append or prune)
+        for r in range(n):
+            src = layer0.node_ids[r]
+            for v in new_nbrs[r]:
+                if v < 0:
+                    continue
+                vrow = self._lookup0[v]
+                lst = layer0.nbrs[vrow]
+                if src in lst:
+                    continue
+                free = np.nonzero(lst < 0)[0]
+                if len(free):
+                    lst[free[0]] = src
+                else:
+                    cand = np.concatenate([lst, [src]])
+                    layer0.nbrs[vrow] = self._prune_host(int(v), cand)[
+                        : layer0.max_degree
+                    ]
+        self._invalidate_layer(0)
+
+    def _repair_orphans(self) -> None:
+        """Guarantee in-degree ≥ 1: link each orphan from its nearest node."""
+        layer0 = self._layers[0]
+        n = layer0.count
+        if n < 2:
+            return
+        indeg = np.zeros(self.capacity, dtype=np.int64)
+        nb = layer0.nbrs[:n]
+        np.add.at(indeg, nb[nb >= 0], 1)
+        orphans = [s for s in layer0.node_ids if indeg[s] == 0 and s != self._entry]
+        if not orphans:
+            return
+        slots_all = np.asarray(layer0.node_ids, dtype=np.int64)
+        for u in orphans:
+            d = ((self._graph_vecs[slots_all] - self._graph_vecs[u]) ** 2).sum(-1)
+            d[slots_all == u] = np.inf
+            v = int(slots_all[np.argmin(d)])
+            vrow = self._lookup0[v]
+            lst = layer0.nbrs[vrow]
+            free = np.nonzero(lst < 0)[0]
+            if len(free):
+                lst[free[0]] = u
+            else:
+                lst[-1] = u  # force the link; connectivity beats diversity
+        self._invalidate_layer(0)
+
+    def _ensure_layer(self, l: int) -> None:
+        while len(self._layers) <= l:
+            self._layers.append(_Level(self.config.m))
+
+    def _prune_host(self, node_slot: int, cand: np.ndarray) -> np.ndarray:
+        """Diversity prune on host for single overflowed lists."""
+        cand = np.asarray([c for c in cand if c >= 0], dtype=np.int64)
+        base = self._graph_vecs[node_slot]
+        d = np.linalg.norm(self._graph_vecs[cand] - base, axis=1)
+        order = np.argsort(d, kind="stable")
+        cand, d = cand[order], d[order]
+        selected: list[int] = []
+        for ci, cd in zip(cand, d):
+            if not selected:
+                selected.append(int(ci))
+                continue
+            dsel = np.linalg.norm(
+                self._graph_vecs[np.asarray(selected)] - self._graph_vecs[ci], axis=1
+            ).min()
+            if cd < dsel:
+                selected.append(int(ci))
+        out = np.full(len(cand), -1, dtype=np.int32)
+        out[: len(selected)] = selected
+        return out
+
+    def _insert_upper_host(self, slot: int, l: int) -> None:
+        layer = self._layers[l]
+        row = layer.add_node(slot)
+        if layer.count == 1:
+            return
+        others = np.asarray(layer.node_ids[:-1], dtype=np.int64)
+        d = np.linalg.norm(
+            self._graph_vecs[others] - self._graph_vecs[slot], axis=1
+        )
+        order = np.argsort(d, kind="stable")[: self.config.ef_construction]
+        cand = others[order]
+        sel = self._prune_host(slot, cand)[: self.config.m]
+        sel = sel[sel >= 0]
+        layer.nbrs[row, : len(sel)] = sel
+        local = {s: r for r, s in enumerate(layer.node_ids)}
+        for s in sel:
+            srow = local[int(s)]
+            lst = layer.nbrs[srow]
+            free = np.nonzero(lst < 0)[0]
+            if len(free):
+                lst[free[0]] = slot
+            else:
+                cand2 = np.concatenate([lst, [slot]])
+                layer.nbrs[srow] = self._prune_host(int(s), cand2)[
+                    : layer.max_degree
+                ]
+
+    # ------------------------------------------------------------------
+    # search
+    # ------------------------------------------------------------------
+
+    def _rescore(self, slots: np.ndarray, q: np.ndarray) -> np.ndarray:
+        """True-metric public score for result slots (graph distances route;
+        final scores come from the raw vectors)."""
+        v = self._vectors[slots]
+        if self.metric == Metric.L2:
+            return np.linalg.norm(v - q, axis=-1)
+        if self.metric == Metric.INNER_PRODUCT:
+            return v @ q
+        qn = q / max(np.linalg.norm(q), 1e-30)
+        vn = v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+        return vn @ qn
+
+    def batch_search(
+        self, queries, k: int, filter: Optional[FilterFn] = None
+    ) -> list[list[SearchResult]]:
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.dimension:
+            raise dimension_mismatch(self.dimension, q.shape[1], "hnsw.search")
+        if self.count == 0 or k <= 0:
+            return [[] for _ in range(q.shape[0])]
+        self._ensure_built()
+        if self._entry < 0 or not self._valid[self._entry :self._entry + 1].size:
+            return [[] for _ in range(q.shape[0])]
+
+        qg = jnp.asarray(
+            self._to_graph_space(q) if self.metric == Metric.COSINE else q
+        )
+        gv, sqn = self._sync_vec_device()
+        b = q.shape[0]
+        entry = jnp.full((b,), self._entry, dtype=jnp.int32)
+        for l in range(len(self._layers) - 1, 0, -1):
+            nbrs, lookup = self._sync_layer_device(l)
+            steps = max(4, int(np.log2(max(self._layers[l].count, 2))) + 2)
+            entry = gops.greedy_descent(qg, gv, sqn, nbrs, lookup, entry, steps=steps)
+
+        nbrs0, _ = self._sync_layer_device(0)
+        lookup0 = jnp.asarray(self._lookup0)
+        ef = max(self.config.ef_search, k)
+        ef = min(ef, max(self._layers[0].count, 1))
+        beam = gops.beam_search(
+            qg, gv, sqn, nbrs0, lookup0, entry, ef=ef, iters=min(ef, 64)
+        )
+        # exclude tombstones (allow-bitset, reference :112-119) + final top-k
+        ids = np.asarray(beam.ids)
+        dists = np.asarray(beam.dists)
+        allow = np.where(
+            (ids != INVALID_ID) & (ids >= 0), self._valid[np.maximum(ids, 0)], False
+        )
+        out: list[list[SearchResult]] = []
+        for i in range(b):
+            order = np.argsort(np.where(allow[i], dists[i], np.inf), kind="stable")
+            row: list[SearchResult] = []
+            seen: set[int] = set()
+            for j in order:
+                if not allow[i, j]:
+                    break
+                slot = int(ids[i, j])
+                if slot in seen:
+                    continue
+                seen.add(slot)
+                meta = self._metadata[slot]
+                if filter is not None and not filter(meta):
+                    continue
+                score = float(self._rescore(np.asarray([slot]), q[i])[0])
+                row.append(
+                    SearchResult(
+                        id=self._idmap.external_for(slot), score=score, metadata=meta
+                    )
+                )
+                if len(row) == k:
+                    break
+            out.append(row)
+        return out
+
+    def search(self, query, k: int, filter: Optional[FilterFn] = None):
+        return self.batch_search(np.asarray(query)[None, :], k, filter)[0]
+
+    # ------------------------------------------------------------------
+    # maintenance / stats / persistence
+    # ------------------------------------------------------------------
+
+    def compact(self) -> None:
+        """Rebuild the graph from live records (reference compact() remaps
+        and re-prunes :783-857; we rebuild by reinsertion — same contract as
+        its load path)."""
+        live = [
+            (ext, self._vectors[slot].copy(), self._metadata[slot])
+            for ext, slot in sorted(self._idmap.items(), key=lambda kv: kv[1])
+        ]
+        cfg = self.config
+        self.__init__(self.dimension, self.metric, cfg)
+        for ext, v, meta in live:
+            self.insert(ext, v, meta)
+        self._ensure_built()
+
+    def statistics(self) -> IndexStats:
+        self._ensure_built()
+        l0 = self._layers[0]
+        deg = (
+            float((l0.nbrs[: l0.count] >= 0).sum(axis=1).mean()) if l0.count else 0.0
+        )
+        return IndexStats(
+            count=self.count,
+            dimension=self.dimension,
+            metric=self.metric.value,
+            memory_bytes=int(
+                self._vectors.nbytes
+                + sum(layer.nbrs.nbytes for layer in self._layers)
+            ),
+            details={
+                "max_level": len(self._layers) - 1,
+                "avg_degree_l0": deg,  # reference avgDegreeL0 (:374-395)
+                "m": self.config.m,
+                "ef_construction": self.config.ef_construction,
+                "ef_search": self.config.ef_search,
+                "entry_point": self._entry,
+                "pending": len(self._pending),
+            },
+        )
+
+    def save(self, path: str) -> None:
+        """Flat records only — graph is rebuilt by reinsertion on load
+        (reference HNSWIndex.swift:755-781)."""
+        records = [
+            PersistedRecord(
+                id=ext, vector=self._vectors[slot], metadata=self._metadata[slot]
+            )
+            for ext, slot in sorted(self._idmap.items(), key=lambda kv: kv[1])
+        ]
+        save_snapshot(
+            path,
+            PersistedIndex(
+                type=self.TYPE,
+                dimension=self.dimension,
+                metric=self.metric.value,
+                records=records,
+                config={
+                    "m": self.config.m,
+                    "ef_construction": self.config.ef_construction,
+                    "ef_search": self.config.ef_search,
+                    "seed": self.config.seed,
+                    "stream": self.config.stream,
+                },
+            ),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "HNSWIndex":
+        snap = load_snapshot(path, expected_type=cls.TYPE)
+        c = snap.config
+        cfg = HNSWConfig(
+            m=c.get("m", 16),
+            ef_construction=c.get("ef_construction", 100),
+            ef_search=c.get("ef_search", 64),
+            seed=c.get("seed", 0xDEADBEEFCAFEBABE),
+            stream=c.get("stream", 0),
+        )
+        idx = cls(snap.dimension, Metric(snap.metric), cfg)
+        for r in snap.records:
+            idx.insert(r.id, r.vector, r.metadata)
+        idx._ensure_built()
+        return idx

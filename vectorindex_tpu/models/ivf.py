@@ -358,3 +358,263 @@ class IVFIndex(VectorIndex):
             )
             idx.optimize()
         return idx
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class IVFPQConfig(IVFConfig):
+    """IVF-PQ knobs on top of IVFConfig (reference IVFAppendOpts.format
+    pq8/pq4, IVFAppend.swift:30; PQTrainConfig, PQTrain.swift:20-43)."""
+
+    m: int = 8  # PQ subspaces
+    ks: int = 256  # codes per subspace (256 = pq8, 16 = pq4)
+    pq_iters: int = 15
+    rerank: bool = True  # exact rerank of ADC candidates (#40)
+    rerank_c: int = 64  # ADC candidates fed to rerank
+
+
+class IVFPQIndex(IVFIndex):
+    """IVF with residual product quantization + ADC scanning.
+
+    Search path (reference SURVEY.md §3.3 ADC variant): #29 select →
+    residual LUT (#21) → ADC over probed code lists (#22) → exact rerank of
+    top-C against original vectors (#40 / IVFPostADC). Codes are residuals
+    r = x − c_list (#23), re-encoded on the packed CSR layout whenever the
+    store changes (device encode is cheap; the reference instead maintains
+    per-list code buffers, IVFAppend pq8/pq4 formats).
+    """
+
+    TYPE = "ivfpq"
+
+    def __init__(
+        self,
+        dimension: int,
+        metric: Metric = Metric.L2,
+        config: IVFPQConfig = IVFPQConfig(),
+        storage_dtype=jnp.float32,
+    ):
+        if metric not in (Metric.L2, Metric.INNER_PRODUCT):
+            raise (
+                ErrorBuilder(IndexErrorKind.UNSUPPORTED_METRIC)
+                .message(f"IVF-PQ supports L2/IP, got {metric.value}")
+                .build()
+            )
+        if dimension % config.m != 0:
+            raise (
+                ErrorBuilder(IndexErrorKind.INVALID_CONFIGURATION)
+                .message(f"dimension {dimension} not divisible by m={config.m}")
+                .build()
+            )
+        super(IVFIndex, self).__init__()  # VectorIndex init (no-op)
+        # replicate IVFIndex.__init__ without its metric restriction clash
+        self.dimension = dimension
+        self.metric = metric
+        self.config = config
+        self.storage_dtype = storage_dtype
+        self._vectors = {}
+        self._metadata = {}
+        self._idmap = IDMap()
+        self._next_slot = 0
+        self._free = []
+        self._centroids = None
+        self._store = IVFListStore(config.nlist, dimension)
+        self._slot_list = {}
+        self._books = None  # PQCodebooks
+        self._pq_cache = None  # (store_version, codes_dev, slot_rows_dev)
+
+    @property
+    def pq_trained(self) -> bool:
+        return self._books is not None
+
+    def optimize(self) -> None:
+        """Coarse k-means + residual PQ training + encode (reference
+        optimize + pq_train_f32 residual mode)."""
+        super().optimize()
+        if not self.trained or self.count == 0:
+            return
+        slots = sorted(self._vectors.keys())
+        x = jnp.asarray(np.stack([self._vectors[s] for s in slots]))
+        assigns = jnp.asarray(
+            np.array([self._slot_list[s] for s in slots], dtype=np.int32)
+        )
+        from vectorindex_tpu.ops import pq as pq_ops
+        from vectorindex_tpu.ops import rng as vrng
+
+        self._books = pq_ops.pq_train_residual(
+            vrng.make_key(self.config.seed, 1),
+            x,
+            jnp.asarray(self._centroids),
+            assigns,
+            m=self.config.m,
+            ks=self.config.ks,
+            iters=self.config.pq_iters,
+        )
+        self._pq_cache = None
+
+    def _sync_pq(self):
+        """Codes + slot→row table for the current packed layout."""
+        arrays = self._store.sync_device(self.storage_dtype)
+        if self._pq_cache is not None and self._pq_cache[0] == self._store.version:
+            return arrays, self._pq_cache[1], self._pq_cache[2]
+        from vectorindex_tpu.ops import pq as pq_ops
+
+        # row → list id (from CSR starts/lengths), then residual-encode rows
+        starts = np.asarray(arrays.starts)
+        lengths = np.asarray(arrays.lengths)
+        n_pad = arrays.vecs.shape[0]
+        row_list = np.zeros(n_pad, dtype=np.int32)
+        for l in range(self._store.n_lists):
+            row_list[starts[l] : starts[l] + lengths[l]] = l
+        codes = pq_ops.pq_encode_residual(
+            arrays.vecs.astype(jnp.float32),
+            jnp.asarray(self._centroids),
+            jnp.asarray(row_list),
+            self._books,
+            chunk=min(4096, max(256, n_pad)),
+        )
+        row_ids = np.asarray(arrays.row_ids)
+        max_slot = max(self._next_slot, 1)
+        slot_rows = np.full(max_slot, -1, dtype=np.int32)
+        live = row_ids >= 0
+        slot_rows[row_ids[live]] = np.nonzero(live)[0].astype(np.int32)
+        slot_rows_dev = jnp.asarray(slot_rows)
+        self._pq_cache = (self._store.version, codes, slot_rows_dev)
+        return arrays, codes, slot_rows_dev
+
+    def batch_search(self, queries, k, filter=None):
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.dimension:
+            raise dimension_mismatch(self.dimension, q.shape[1], "ivfpq.search")
+        if self.count == 0 or k <= 0:
+            return [[] for _ in range(q.shape[0])]
+        if not (self.trained and self.pq_trained):
+            return super().batch_search(queries, k, filter)
+
+        from vectorindex_tpu.ops.ivf_pq import ivf_search_pq, rerank_rows
+
+        kk = min(k if filter is None else max(4 * k, k + 32), self.count)
+        arrays, codes, slot_rows = self._sync_pq()
+        cap = probe_cap_for(self._store.max_length)
+        c_adc = max(kk, self.config.rerank_c if self.config.rerank else kk)
+        c_adc = min(c_adc, self.count)
+        dist, ids = ivf_search_pq(
+            jnp.asarray(q),
+            jnp.asarray(self._centroids),
+            arrays,
+            codes,
+            self._books,
+            nprobe=min(self.config.nprobe, self.config.nlist),
+            probe_cap=cap,
+            k=c_adc,
+            metric=self.metric,
+        )
+        if self.config.rerank:
+            dist, ids = rerank_rows(
+                jnp.asarray(q),
+                ids,
+                slot_rows,
+                arrays.vecs,
+                arrays.sqnorms,
+                k=kk,
+                metric=self.metric,
+            )
+        dist, ids = np.asarray(dist), np.asarray(ids)
+
+        scores = self._public_score(dist)
+        out = []
+        for b in range(q.shape[0]):
+            row = []
+            for j in range(ids.shape[1]):
+                slot = int(ids[b, j])
+                if slot == INVALID_ID or not np.isfinite(dist[b, j]):
+                    break
+                meta = self._metadata.get(slot)
+                if filter is not None and not filter(meta):
+                    continue
+                row.append(
+                    SearchResult(
+                        id=self._idmap.external_for(slot),
+                        score=float(scores[b, j]),
+                        metadata=meta,
+                    )
+                )
+                if len(row) == k:
+                    break
+            out.append(row)
+        return out
+
+    def statistics(self) -> IndexStats:
+        st = super().statistics()
+        st.details.update(
+            {
+                "pq_m": self.config.m,
+                "pq_ks": self.config.ks,
+                "pq_trained": self.pq_trained,
+                "rerank": self.config.rerank,
+                "code_bytes_per_vector": self.config.m
+                if self.config.ks > 16
+                else self.config.m // 2,
+            }
+        )
+        return st
+
+    def save(self, path: str) -> None:
+        records = [
+            PersistedRecord(
+                id=ext,
+                vector=self._vectors[slot],
+                metadata=self._metadata.get(slot),
+            )
+            for ext, slot in sorted(self._idmap.items(), key=lambda kv: kv[1])
+        ]
+        save_snapshot(
+            path,
+            PersistedIndex(
+                type=self.TYPE,
+                dimension=self.dimension,
+                metric=self.metric.value,
+                records=records,
+                config={
+                    "nlist": self.config.nlist,
+                    "nprobe": self.config.nprobe,
+                    "train_iters": self.config.train_iters,
+                    "seed": self.config.seed,
+                    "m": self.config.m,
+                    "ks": self.config.ks,
+                    "pq_iters": self.config.pq_iters,
+                    "rerank": self.config.rerank,
+                    "rerank_c": self.config.rerank_c,
+                },
+            ),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "IVFPQIndex":
+        snap = load_snapshot(path, expected_type=cls.TYPE)
+        c = snap.config
+        cfg = IVFPQConfig(
+            nlist=c.get("nlist", 64),
+            nprobe=c.get("nprobe", 8),
+            train_iters=c.get("train_iters", 20),
+            seed=c.get("seed", 42),
+            m=c.get("m", 8),
+            ks=c.get("ks", 256),
+            pq_iters=c.get("pq_iters", 15),
+            rerank=c.get("rerank", True),
+            rerank_c=c.get("rerank_c", 64),
+        )
+        idx = cls(snap.dimension, Metric(snap.metric), cfg)
+        if snap.records:
+            idx.insert_batch(
+                [r.id for r in snap.records],
+                np.stack([r.vector for r in snap.records]),
+                [r.metadata for r in snap.records],
+            )
+            idx.optimize()
+        return idx

@@ -99,6 +99,7 @@ class IVFListStore:
     def __init__(self, n_lists: int, dim: int):
         self.n_lists = n_lists
         self.dim = dim
+        self.version = 0  # bumped on every mutation (cache invalidation key)
         self._lists_ids: list[list[int]] = [[] for _ in range(n_lists)]
         self._lists_vecs: list[list[np.ndarray]] = [[] for _ in range(n_lists)]
         self._caps = np.zeros(n_lists, dtype=np.int64)
@@ -109,6 +110,7 @@ class IVFListStore:
     # -- mutation --
 
     def append(self, list_id: int, internal_id: int, vec: np.ndarray) -> None:
+        self.version += 1
         self._lists_ids[list_id].append(internal_id)
         self._lists_vecs[list_id].append(np.asarray(vec, dtype=np.float32))
         if len(self._lists_ids[list_id]) > self._caps[list_id]:
@@ -127,6 +129,7 @@ class IVFListStore:
                 self._dev = None  # device copy stale
 
     def append_batch(self, list_ids, internal_ids, vecs) -> None:
+        self.version += 1
         vecs = np.asarray(vecs, dtype=np.float32)
         for l, i, v in zip(np.asarray(list_ids), np.asarray(internal_ids), vecs):
             self._lists_ids[int(l)].append(int(i))
@@ -138,12 +141,14 @@ class IVFListStore:
             pos = self._lists_ids[list_id].index(internal_id)
         except ValueError:
             return False
+        self.version += 1
         self._lists_ids[list_id].pop(pos)
         self._lists_vecs[list_id].pop(pos)
         self._dirty = True
         return True
 
     def clear(self) -> None:
+        self.version += 1
         self._lists_ids = [[] for _ in range(self.n_lists)]
         self._lists_vecs = [[] for _ in range(self.n_lists)]
         self._caps[:] = 0

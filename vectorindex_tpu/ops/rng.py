@@ -29,8 +29,17 @@ Array = jax.Array
 def make_key(seed: int, stream: int = 0) -> Array:
     """Derive a PRNG key from (seed, streamID) — reference semantics where
     every kernel takes rngSeed + streamID (e.g. KMeansSeedConfig,
-    KMeansSeeding.swift:40)."""
-    return jax.random.fold_in(jax.random.key(seed), stream)
+    KMeansSeeding.swift:40). 64-bit seeds (e.g. the reference HNSW default
+    0xDEADBEEFCAFEBABE) are folded in as two 32-bit halves."""
+    seed = int(seed)
+    lo = seed & 0x7FFFFFFF
+    hi = (seed >> 31) & 0xFFFFFFFF
+    key = jax.random.key(lo)
+    if hi:
+        key = jax.random.fold_in(key, hi & 0x7FFFFFFF)
+        if hi >> 31:
+            key = jax.random.fold_in(key, 1)
+    return jax.random.fold_in(key, stream)
 
 
 def key_from(cfg: RNGConfig) -> Array:
