@@ -1,0 +1,89 @@
+"""Telemetry (#46): gating, counters, timers, ring buffer, JSON snapshot,
+recorder callbacks (reference Telemetry.swift behaviors)."""
+
+import json
+
+import numpy as np
+
+from vectorindex_tpu.models import FlatIndex
+from vectorindex_tpu.utils import telemetry
+from vectorindex_tpu.utils.telemetry import TELEM, QueryStats
+
+
+def setup_function(_):
+    TELEM.reset()
+    TELEM.disable()
+
+
+def test_disabled_is_noop():
+    TELEM.inc("x")
+    with TELEM.timer("topk"):
+        pass
+    TELEM.record_query(QueryStats())
+    snap = TELEM.snapshot()
+    assert snap["counters"] == {}
+    assert snap["recent_queries"] == 0
+
+
+def test_counters_and_bytes():
+    telemetry.enable()
+    TELEM.inc("scans", 3)
+    TELEM.add_bytes("vecs", 1024)
+    snap = TELEM.snapshot()
+    assert snap["counters"]["scans"] == 3
+    assert snap["bytes"]["vecs"] == 1024
+
+
+def test_timer_records_histogram_and_stats():
+    telemetry.enable()
+    st = QueryStats()
+    with TELEM.timer("topk", st):
+        sum(range(1000))
+    assert "topk" in st.stage_ms and st.stage_ms["topk"] >= 0
+    snap = TELEM.snapshot()
+    assert "topk" in snap["stage_histograms_us"]
+
+
+def test_ring_buffer_and_recorder():
+    telemetry.enable()
+    seen = []
+    TELEM.register_recorder("t", seen.append)
+    for i in range(5):
+        TELEM.record_query(QueryStats(batch=2))
+    assert len(seen) == 5
+    assert len(TELEM.recent(3)) == 3
+    assert TELEM.snapshot()["counters"]["queries"] == 10
+    TELEM.unregister_recorder("t")
+
+
+def test_sampling_rate():
+    telemetry.enable(sample_rate=0.0)
+    for _ in range(20):
+        TELEM.record_query(QueryStats())
+    assert TELEM.snapshot()["recent_queries"] == 0
+
+
+def test_snapshot_json_roundtrip(tmp_path):
+    telemetry.enable()
+    TELEM.inc("a")
+    p = str(tmp_path / "telem.json")
+    s = TELEM.snapshot_json(p)
+    loaded = json.loads(open(p).read())
+    assert loaded == json.loads(s)
+    assert loaded["counters"]["a"] == 1
+
+
+def test_flat_search_emits_telemetry():
+    telemetry.enable()
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((100, 8)).astype(np.float32)
+    idx = FlatIndex(8)
+    idx.insert_batch(list(range(100)), x)
+    idx.batch_search(x[:4], 3)
+    snap = TELEM.snapshot()
+    assert snap["counters"]["queries"] == 4
+    assert snap["bytes"]["vecs"] > 0
+    assert "score_flat" in snap["stage_histograms_us"]
+    rec = TELEM.recent(1)[0]
+    assert rec.rows_scored == 4 * 100
+    assert "dot_trick" in rec.flags

@@ -49,6 +49,7 @@ from vectorindex_tpu.persistence.json_snapshot import (
     save_snapshot,
 )
 from vectorindex_tpu.utils.config import Metric
+from vectorindex_tpu.utils.telemetry import TELEM, QueryStats
 from vectorindex_tpu.utils.errors import (
     ErrorBuilder,
     IndexErrorKind,
@@ -268,27 +269,37 @@ class FlatIndex(VectorIndex):
         )
         kk = min(k, self.capacity)
         qj = jnp.asarray(q)
+        stats = QueryStats(batch=q.shape[0], rows_scored=q.shape[0] * self.count)
         if self.capacity >= LARGE_SCAN_THRESHOLD:
-            dist, ids, exact = scan_topk_verified(
-                qj, vecs, sqn, inv, valid, metric=self.metric, k=kk
-            )
-            exact = np.asarray(exact)
+            with TELEM.timer("score_flat", stats):
+                dist, ids, exact = scan_topk_verified(
+                    qj, vecs, sqn, inv, valid, metric=self.metric, k=kk
+                )
+                exact = np.asarray(exact)
             if not exact.all():
                 # rare PartialReduce miss: rerun only the flagged queries
                 # through the always-exact strict path and splice results
+                TELEM.inc("flat.verify_fallback", int((~exact).sum()))
+                stats.flags.add("verify_fallback")
                 flagged = np.nonzero(~exact)[0]
                 qf, nf = pad_queries(qj[flagged])
-                fd, fi = scan_topk_strict(
-                    qf, vecs, sqn, inv, valid, metric=self.metric, k=kk
-                )
+                with TELEM.timer("rerank", stats):
+                    fd, fi = scan_topk_strict(
+                        qf, vecs, sqn, inv, valid, metric=self.metric, k=kk
+                    )
                 dist = np.array(dist)
                 ids = np.array(ids)
                 dist[flagged] = np.asarray(fd)[:nf]
                 ids[flagged] = np.asarray(fi)[:nf]
         else:
-            dist, ids = scan_topk_strict(
-                qj, vecs, sqn, inv, valid, metric=self.metric, k=kk
-            )
+            with TELEM.timer("score_flat", stats):
+                dist, ids = scan_topk_strict(
+                    qj, vecs, sqn, inv, valid, metric=self.metric, k=kk
+                )
+        stats.flags.add("dot_trick")
+        stats.bytes_read["vecs"] = self.count * self.dimension * 4
+        TELEM.add_bytes("vecs", stats.bytes_read["vecs"])
+        TELEM.record_query(stats)
         dist = np.asarray(dist)
         ids = np.asarray(ids)
         scores = self._public_score(dist)

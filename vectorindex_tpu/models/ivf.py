@@ -44,6 +44,7 @@ from vectorindex_tpu.persistence.json_snapshot import (
     save_snapshot,
 )
 from vectorindex_tpu.utils.config import Metric
+from vectorindex_tpu.utils.telemetry import TELEM, QueryStats
 from vectorindex_tpu.utils.errors import (
     ErrorBuilder,
     IndexErrorKind,
@@ -260,16 +261,24 @@ class IVFIndex(VectorIndex):
         else:
             arrays = self._store.sync_device(self.storage_dtype)
             cap = probe_cap_for(self._store.max_length)
-            dist, ids = ivf_search_flat(
-                jnp.asarray(q),
-                jnp.asarray(self._centroids),
-                arrays,
-                nprobe=min(self.config.nprobe, self.config.nlist),
-                probe_cap=cap,
-                k=min(kk, max(self.count, 1)),
-                metric=self.metric,
+            nprobe = min(self.config.nprobe, self.config.nlist)
+            stats = QueryStats(
+                batch=q.shape[0],
+                lists_routed=q.shape[0] * nprobe,
+                rows_scored=q.shape[0] * nprobe * cap,
             )
-            dist, ids = np.asarray(dist), np.asarray(ids)
+            with TELEM.timer("score_flat", stats):  # select fused in-program
+                dist, ids = ivf_search_flat(
+                    jnp.asarray(q),
+                    jnp.asarray(self._centroids),
+                    arrays,
+                    nprobe=nprobe,
+                    probe_cap=cap,
+                    k=min(kk, max(self.count, 1)),
+                    metric=self.metric,
+                )
+                dist, ids = np.asarray(dist), np.asarray(ids)
+            TELEM.record_query(stats)
 
         scores = self._public_score(dist)
         out: list[list[SearchResult]] = []
