@@ -1,0 +1,167 @@
+"""Binary container: round-trips, CRC/corruption detection, durable append +
+WAL replay, growth, generation (reference VIndexMmapErrorTests,
+Kernel30AppendTests, IDMapPersistenceTests — SURVEY.md §4 tier 6)."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from vectorindex_tpu.persistence.container import Container, SectionType
+from vectorindex_tpu.utils.errors import IndexError, IndexErrorKind
+
+
+def test_create_write_read_roundtrip(tmp_path):
+    p = str(tmp_path / "c.vx")
+    cents = np.random.default_rng(0).standard_normal((16, 8)).astype(np.float32)
+    ids = np.arange(100, dtype=np.int32)
+    with Container.create(p) as c:
+        c.add_array(SectionType.CENTROIDS, cents)
+        c.add_array(SectionType.IDS, ids)
+        c.add_blob(SectionType.IDMAP, b'{"hello": 1}')
+        c.sync()
+    with Container.open(p) as c:
+        got = c.read_array(SectionType.CENTROIDS, verify=True)
+        np.testing.assert_array_equal(got, cents)
+        np.testing.assert_array_equal(c.read_array(SectionType.IDS), ids)
+        assert c.read_blob(SectionType.IDMAP) == b'{"hello": 1}'
+        assert c.generation == 1
+        c.verify_all()
+
+
+def test_shape_reconstruction(tmp_path):
+    p = str(tmp_path / "c.vx")
+    a = np.arange(24, dtype=np.float32).reshape(6, 4)
+    with Container.create(p) as c:
+        c.add_array(SectionType.VECS, a)
+    with Container.open(p) as c:
+        got = c.read_array(SectionType.VECS)
+        assert got.shape == (6, 4)
+        np.testing.assert_array_equal(got, a)
+
+
+def test_corrupt_magic_rejected(tmp_path):
+    p = str(tmp_path / "c.vx")
+    with Container.create(p) as c:
+        c.add_array(SectionType.IDS, np.arange(4, dtype=np.int32))
+    with open(p, "r+b") as f:
+        f.seek(0)
+        f.write(b"XXXXXXXX")
+    with pytest.raises(IndexError) as ei:
+        Container.open(p)
+    assert ei.value.kind == IndexErrorKind.CORRUPT_DATA
+
+
+def test_corrupt_header_crc_rejected(tmp_path):
+    p = str(tmp_path / "c.vx")
+    with Container.create(p) as c:
+        c.add_array(SectionType.IDS, np.arange(4, dtype=np.int32))
+    with open(p, "r+b") as f:
+        f.seek(16)  # generation field — breaks the header CRC
+        f.write(struct.pack("<Q", 999999))
+    with pytest.raises(IndexError) as ei:
+        Container.open(p)
+    assert ei.value.kind == IndexErrorKind.CHECKSUM_MISMATCH
+
+
+def test_corrupt_section_data_detected(tmp_path):
+    p = str(tmp_path / "c.vx")
+    data = np.ones(64, dtype=np.float32)
+    with Container.create(p) as c:
+        c.add_array(SectionType.VECS, data)
+        c.sync()
+    size = os.path.getsize(p)
+    with open(p, "r+b") as f:
+        f.seek(size - 16)  # stomp on section payload
+        f.write(b"\xde\xad\xbe\xef")
+    with Container.open(p) as c:
+        with pytest.raises(IndexError) as ei:
+            c.read_array(SectionType.VECS, verify=True)
+        assert ei.value.kind == IndexErrorKind.CHECKSUM_MISMATCH
+
+
+def test_bad_version_rejected(tmp_path):
+    p = str(tmp_path / "c.vx")
+    with Container.create(p):
+        pass
+    with open(p, "r+b") as f:
+        f.seek(8)
+        f.write(struct.pack("<I", 99))
+    with pytest.raises(IndexError) as ei:
+        Container.open(p)
+    assert ei.value.kind == IndexErrorKind.VERSION_MISMATCH
+
+
+def test_durable_append_and_growth(tmp_path):
+    p = str(tmp_path / "c.vx")
+    with Container.create(p) as c:
+        idx = c.add_array(
+            SectionType.IDS, np.arange(8, dtype=np.int32), capacity_bytes=64
+        )
+        # appends past capacity force grow-with-copy relocation
+        for i in range(5):
+            c.append(idx, np.arange(8 * (i + 1), 8 * (i + 2), dtype=np.int32))
+        c.sync()
+    with Container.open(p) as c:
+        got = c.read_array(SectionType.IDS)
+        np.testing.assert_array_equal(got, np.arange(48, dtype=np.int32))
+
+
+def test_wal_replay_recovers_unpublished_append(tmp_path):
+    """Simulate a crash: data + WAL commit written but section length not
+    published (we fake it by truncating the published length bytes back)."""
+    p = str(tmp_path / "c.vx")
+    with Container.create(p) as c:
+        idx = c.add_array(
+            SectionType.IDS, np.arange(4, dtype=np.int32), capacity_bytes=4096
+        )
+        c.append(idx, np.arange(4, 8, dtype=np.int32))
+        c.sync()
+    # find the section's nbytes in the TOC (section 1; TOC starts at 256)
+    toc_off = 256 + 64  # section 0 = WAL, section 1 at +64
+    with open(p, "r+b") as f:
+        f.seek(toc_off + 8 + 8)  # type+dtype(8) offset(8) → nbytes
+        f.write(struct.pack("<Q", 16))  # roll back to pre-append length
+    # reopening with replay must roll the length forward again
+    with Container.open(p, writable=True) as c:
+        got = c.read_array(SectionType.IDS)
+        np.testing.assert_array_equal(got, np.arange(8, dtype=np.int32))
+
+
+def test_wal_reset(tmp_path):
+    p = str(tmp_path / "c.vx")
+    with Container.create(p) as c:
+        idx = c.add_array(SectionType.IDS, np.arange(4, dtype=np.int32), capacity_bytes=4096)
+        c.append(idx, np.arange(4, dtype=np.int32))
+        c.wal_reset()
+        assert c.wal_replay() == 0
+
+
+def test_generation_counter(tmp_path):
+    p = str(tmp_path / "c.vx")
+    with Container.create(p) as c:
+        assert c.generation == 1
+        c.bump_generation()
+        c.sync()
+    with Container.open(p) as c:
+        assert c.generation == 2
+
+
+def test_multiple_sections_same_type(tmp_path):
+    p = str(tmp_path / "c.vx")
+    with Container.create(p) as c:
+        c.add_array(SectionType.CODES, np.zeros(4, dtype=np.uint8))
+        c.add_array(SectionType.CODES, np.ones(4, dtype=np.uint8))
+    with Container.open(p) as c:
+        np.testing.assert_array_equal(c.read_array(SectionType.CODES, 0), np.zeros(4, np.uint8))
+        np.testing.assert_array_equal(c.read_array(SectionType.CODES, 1), np.ones(4, np.uint8))
+
+
+def test_missing_section_raises(tmp_path):
+    p = str(tmp_path / "c.vx")
+    with Container.create(p):
+        pass
+    with Container.open(p) as c:
+        with pytest.raises(IndexError):
+            c.read_array(SectionType.CENTROIDS)

@@ -142,10 +142,15 @@ class IVFIndex(VectorIndex):
         self._vectors[slot] = v
         self._metadata[slot] = metadata
         self._idmap.append(id, slot)
+        lst = -1
         if self.trained:
             lst = int(self._assign_lists(v[None, :])[0])
             self._store.append(lst, slot, v)
             self._slot_list[slot] = lst
+        if getattr(self, "_durable", None) is not None:
+            from vectorindex_tpu.persistence.durable import REC_INSERT, append_journal
+
+            append_journal(self._durable, REC_INSERT, slot, lst, v, ext_id=id)
 
     def insert_batch(self, ids, vectors, metadatas=None) -> None:
         vectors = np.asarray(vectors, dtype=np.float32)
@@ -161,11 +166,20 @@ class IVFIndex(VectorIndex):
             self._metadata[slot] = None if metadatas is None else metadatas[i]
             self._idmap.append(id_, slot)
             slots.append(slot)
+        lists = None
         if self.trained:
             lists = self._assign_lists(vectors)
             self._store.append_batch(lists, slots, vectors)
             for s, l in zip(slots, lists):
                 self._slot_list[s] = int(l)
+        if getattr(self, "_durable", None) is not None:
+            from vectorindex_tpu.persistence.durable import REC_INSERT, append_journal
+
+            for i, (id_, s) in enumerate(zip(ids, slots)):
+                l = -1 if lists is None else int(lists[i])
+                append_journal(
+                    self._durable, REC_INSERT, s, l, vectors[i], ext_id=id_
+                )
 
     def remove(self, id: VectorID) -> None:
         slot = self._idmap.erase(id)
@@ -175,6 +189,10 @@ class IVFIndex(VectorIndex):
         lst = self._slot_list.pop(slot, None)
         if lst is not None:
             self._store.remove(lst, slot)
+        if getattr(self, "_durable", None) is not None:
+            from vectorindex_tpu.persistence.durable import REC_REMOVE, append_journal
+
+            append_journal(self._durable, REC_REMOVE, slot, -1 if lst is None else lst, None, ext_id=id)
 
     def update(self, id: VectorID, vector=None, metadata: Metadata = None) -> None:
         slot = self._idmap.lookup(id)
@@ -184,10 +202,18 @@ class IVFIndex(VectorIndex):
             old = self._slot_list.pop(slot, None)
             if old is not None:
                 self._store.remove(old, slot)
+            lst = -1
             if self.trained:
                 lst = int(self._assign_lists(v[None, :])[0])
                 self._store.append(lst, slot, v)
                 self._slot_list[slot] = lst
+            if getattr(self, "_durable", None) is not None:
+                from vectorindex_tpu.persistence.durable import (
+                    REC_UPDATE,
+                    append_journal,
+                )
+
+                append_journal(self._durable, REC_UPDATE, slot, lst, v, ext_id=id)
         if metadata is not None:
             self._metadata[slot] = metadata
 
@@ -346,6 +372,49 @@ class IVFIndex(VectorIndex):
                 },
             ),
         )
+
+    # ------------------------------------------------------------------
+    # durable binary container (reference enableKernel30Storage,
+    # IVFIndex.swift:103-144; canonical format SURVEY.md §5.4)
+    # ------------------------------------------------------------------
+
+    def enable_durable(self, path: str) -> None:
+        """Write a checkpoint container at `path` and journal every
+        subsequent mutation through its WAL (crash-consistent)."""
+        from vectorindex_tpu.persistence.container import Container
+        from vectorindex_tpu.persistence.durable import save_ivf_container
+
+        save_ivf_container(self, path)
+        self._durable = Container.open(path, writable=True)
+        self._durable_path = path
+
+    def checkpoint(self) -> None:
+        """Rewrite the container from current state and truncate the
+        journal (generation bumps)."""
+        if getattr(self, "_durable", None) is None:
+            return
+        from vectorindex_tpu.persistence.container import Container
+        from vectorindex_tpu.persistence.durable import save_ivf_container
+
+        gen = self._durable.generation
+        self._durable.close()
+        save_ivf_container(self, self._durable_path)
+        self._durable = Container.open(self._durable_path, writable=True)
+        for _ in range(gen):
+            self._durable.bump_generation()
+
+    def close_durable(self) -> None:
+        if getattr(self, "_durable", None) is not None:
+            self._durable.close()
+            self._durable = None
+
+    @classmethod
+    def load_durable(cls, path: str) -> "IVFIndex":
+        """Restore from container: checkpoint + WAL replay + journal
+        replay (reference open + mmap_wal_replay + IDMap blob restore)."""
+        from vectorindex_tpu.persistence.durable import load_ivf_container
+
+        return load_ivf_container(path)
 
     @classmethod
     def load(cls, path: str) -> "IVFIndex":

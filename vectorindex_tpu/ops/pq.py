@@ -73,7 +73,7 @@ def _split_subspaces(x: Array, m: int) -> Array:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("m", "ks", "iters"))
+@partial(jax.jit, static_argnames=("m", "ks", "iters", "seeding"))
 def pq_train(
     key: Array,
     x: Array,
@@ -81,15 +81,26 @@ def pq_train(
     m: int,
     ks: int = 256,
     iters: int = 25,
+    seeding: str = "random",
 ) -> PQCodebooks:
     """Train per-subspace codebooks (reference pq_train_f32, PQTrain.swift:83;
     maxIters default 25). Subspaces train in parallel via vmap — each gets an
-    independent RNG stream (reference SubspaceAccumulator parallelism)."""
+    independent RNG stream (reference SubspaceAccumulator parallelism).
+
+    seeding: 'random' (default — distinct random data points; the sequential
+    k-means++ D² scan compiles to a ks-step program that costs minutes of
+    XLA compile per shape for marginal PQ quality) or 'pp' (exact k-means++
+    parity with the kmeans stack)."""
     xt = _split_subspaces(x, m)  # [m, n, dsub]
     keys = jax.random.split(key, m)
+    n = x.shape[0]
 
     def train_one(k_, xs):
-        seed = km.kmeans_pp_seed(k_, xs, ks)
+        if seeding == "pp":
+            seed = km.kmeans_pp_seed(k_, xs, ks)
+        else:
+            idx = jax.random.permutation(k_, n)[:ks]
+            seed = xs[idx]
         res = km.kmeans_lloyd(k_, xs, seed, k=ks, iters=iters)
         return res.centroids
 
