@@ -14,3 +14,5 @@ from vectorindex_tpu.models.ivf import (  # noqa: F401
     IVFPQConfig,
     IVFPQIndex,
 )
+from vectorindex_tpu.models.sharded import ShardedFlatIndex  # noqa: F401
+from vectorindex_tpu.models import accel  # noqa: F401
