@@ -1,0 +1,31 @@
+"""Pallas kernels vs jnp reference in interpret mode (the rebuild's analog
+of Swift-vs-C parity tests, SURVEY.md §4 tier 2)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vectorindex_tpu.kernels.adc import adc_scan_pallas
+from vectorindex_tpu.ops import pq as pq_ops
+
+
+def test_adc_pallas_matches_gather_reference():
+    rng = np.random.default_rng(0)
+    n, m, ks, b = 1024, 8, 16, 4
+    codes = jnp.asarray(rng.integers(0, ks, (n, m)).astype(np.uint8))
+    lut = jnp.asarray(rng.standard_normal((b, m, ks)).astype(np.float32))
+    got = np.asarray(adc_scan_pallas(codes, lut, tile=256, interpret=True))
+    ref = np.asarray(pq_ops.adc_scan(codes, lut, strategy="gather", chunk=256))
+    # bf16 LUT quantization in the kernel: loose tolerance
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_adc_pallas_single_tile():
+    rng = np.random.default_rng(1)
+    n, m, ks, b = 128, 4, 16, 2
+    codes = jnp.asarray(rng.integers(0, ks, (n, m)).astype(np.uint8))
+    lut = jnp.asarray(rng.standard_normal((b, m, ks)).astype(np.float32))
+    got = np.asarray(adc_scan_pallas(codes, lut, tile=128, interpret=True))
+    assert got.shape == (b, n)
+    ref = np.asarray(pq_ops.adc_scan(codes, lut, strategy="gather", chunk=128))
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)

@@ -199,3 +199,58 @@ def test_reservoir_masked_push_and_partial_fill():
     assert np.isinf(np.asarray(reservoir.reservoir_tau(res))[0])  # not full
     got_d, got_i = reservoir.reservoir_extract_topk(res, 2)
     np.testing.assert_array_equal(np.asarray(got_i), [[10, 12]])
+
+
+# -- typed overloads --
+
+
+def test_as_vector_accepts_many_types():
+    import array
+
+    from vectorindex_tpu.models.typed import as_matrix, as_vector
+
+    ref = np.asarray([1.0, 2.0, 3.0], dtype=np.float32)
+    for v in (
+        [1, 2, 3],
+        (1.0, 2.0, 3.0),
+        np.asarray([1, 2, 3], dtype=np.int64),
+        jnp.asarray([1.0, 2.0, 3.0]),
+        array.array("f", [1, 2, 3]),
+    ):
+        np.testing.assert_allclose(as_vector(v, 3), ref)
+    import torch
+
+    np.testing.assert_allclose(as_vector(torch.tensor([1.0, 2.0, 3.0]), 3), ref)
+    m = as_matrix([[1, 2], [3, 4]], 2)
+    assert m.shape == (2, 2) and m.dtype == np.float32
+
+
+def test_as_vector_rejects_bad():
+    from vectorindex_tpu.models.typed import as_vector
+    from vectorindex_tpu.utils.errors import IndexError
+
+    with pytest.raises(IndexError):
+        as_vector([1, 2, 3], dimension=5)
+    with pytest.raises(IndexError):
+        as_vector(object())
+
+
+# -- PQ streaming --
+
+
+def test_pq_streaming_train():
+    from vectorindex_tpu.ops import pq as pq_ops
+    from vectorindex_tpu.ops import rng as vrng
+
+    rng_ = np.random.default_rng(9)
+    x = rng_.standard_normal((2000, 16)).astype(np.float32)
+    state = pq_ops.pq_stream_init(vrng.make_key(0), jnp.asarray(x[:500]), m=4, ks=8)
+    for c in range(500, 2000, 500):
+        state = pq_ops.pq_stream_update(state, jnp.asarray(x[c : c + 500]))
+    books = pq_ops.pq_stream_finalize(state)
+    assert books.centroids.shape == (4, 8, 4)
+    codes = pq_ops.pq_encode(jnp.asarray(x), books)
+    recon = np.asarray(pq_ops.pq_decode(codes, books))
+    err = ((recon - x) ** 2).sum(-1).mean()
+    base = (x**2).sum(-1).mean()
+    assert err < base  # captures signal

@@ -1,0 +1,82 @@
+"""Pallas TPU kernel: ADC scan (one-hot × LUT on the MXU).
+
+The signature PQ kernel of the rebuild (SURVEY.md §7 "ADC (#22) = a
+VMEM-resident LUT gather kernel; this determines QPS/chip"). Parity target
+is adc_scan_u8 (ADCScan.swift:54-148) — dist[b,i] = Σ_j LUT[b,j,codes[i,j]].
+
+Kernel shape: grid over code tiles; per tile
+  1. DMA codes tile [T, m] u8 → VMEM (16 B/row — the whole point of PQ),
+  2. expand to one-hot [T, m·ks] bf16 with VPU compares (never touches HBM —
+     the XLA 'onehot' strategy materializes this 8 KB/row intermediate),
+  3. one MXU dot with the bf16 LUTᵀ [m·ks, B] (stationary in VMEM across
+     the whole grid),
+  4. transpose the [T, B] tile and write the [B, T] output block.
+
+FLOP note (measured + roofline): one-hot ADC costs m·ks MACs/row/query vs
+d for an exact scan, so at ks=256 it trades 32× compute for 32× less HBM
+traffic — the right trade once the corpus is capacity/bandwidth-bound. At
+ks=16 (u4 codes) the trade is ~2× and ADC wins outright.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+DEFAULT_TILE = 512
+
+
+def _adc_kernel(codes_ref, lut_t_ref, out_ref, *, m: int, ks: int, mxu_dtype):
+    """One tile: codes [T, m] u8 × lutᵀ [m·ks, B] → out [B, T] f32."""
+    codes = codes_ref[:].astype(jnp.int32)  # [T, m]
+    t = codes.shape[0]
+    # one-hot expansion in VMEM: [T, m, ks] compares on the VPU
+    ks_iota = jax.lax.broadcasted_iota(jnp.int32, (t, m, ks), dimension=2)
+    onehot = (codes[:, :, None] == ks_iota).astype(mxu_dtype).reshape(t, m * ks)
+    # MXU: [T, m·ks] @ [m·ks, B] -> [T, B], f32 accumulate
+    acc = jax.lax.dot_general(
+        onehot,
+        lut_t_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[:] = acc.T  # [B, T]
+
+
+@partial(jax.jit, static_argnames=("tile", "interpret"))
+def adc_scan_pallas(
+    codes: Array,  # [N, m] u8
+    lut: Array,  # [B, m, ks] f32
+    *,
+    tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+) -> Array:
+    """ADC distances [B, N] f32. N must be a multiple of `tile` (callers pad
+    with garbage rows and mask — standard CSR padding)."""
+    n, m = codes.shape
+    b, m2, ks = lut.shape
+    assert m2 == m and n % tile == 0, (n, tile)
+    # bf16 operands ride the MXU natively on TPU; the CPU interpreter lacks
+    # bf16 dots, so interpret mode runs f32 (results identical up to
+    # rounding — the one-hot side is exact either way)
+    mxu_dtype = jnp.float32 if interpret else jnp.bfloat16
+    lut_t = lut.reshape(b, m * ks).T.astype(mxu_dtype)  # [m·ks, B]
+
+    grid = (n // tile,)
+    return pl.pallas_call(
+        partial(_adc_kernel, m=m, ks=ks, mxu_dtype=mxu_dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m * ks, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(codes, lut_t)

@@ -314,3 +314,41 @@ def adc_scan_u4(packed_codes: Array, lut: Array, **kw) -> Array:
     """u4 variant: unpack nibbles then scan (reference adc_scan_u4,
     ADCScan.swift:99). lut must have ks ≤ 16."""
     return adc_scan(unpack_u4(packed_codes), lut, **kw)
+
+
+# ---------------------------------------------------------------------------
+# streaming training (reference pq_train_streaming_f32, PQTrain.swift:390;
+# chunked API for datasets larger than memory like
+# kmeans_state_init/update_chunk, KMeansMiniBatchKernel.swift:771-886)
+# ---------------------------------------------------------------------------
+
+
+class PQStreamState(NamedTuple):
+    states: tuple  # per-subspace KMeansStreamState
+    m: int
+
+
+def pq_stream_init(key: Array, first_chunk: Array, *, m: int, ks: int) -> PQStreamState:
+    """Initialize per-subspace streaming k-means from the first chunk
+    (random distinct seeds per subspace)."""
+    xt = _split_subspaces(first_chunk, m)
+    keys = jax.random.split(key, m)
+    states = []
+    for j in range(m):
+        idx = jax.random.permutation(keys[j], xt.shape[1])[:ks]
+        states.append(km.kmeans_stream_init(xt[j][idx]))
+    return PQStreamState(tuple(states), m)
+
+
+def pq_stream_update(state: PQStreamState, chunk: Array) -> PQStreamState:
+    """Consume one chunk of rows."""
+    xt = _split_subspaces(chunk, state.m)
+    states = tuple(
+        km.kmeans_stream_update(s, xt[j]) for j, s in enumerate(state.states)
+    )
+    return PQStreamState(states, state.m)
+
+
+def pq_stream_finalize(state: PQStreamState) -> PQCodebooks:
+    cents = jnp.stack([km.kmeans_stream_finalize(s) for s in state.states])
+    return PQCodebooks(cents, jnp.sum(jnp.square(cents), axis=-1))
