@@ -76,7 +76,7 @@ def main():
     key = jax.random.key(1234)
     x = jax.random.normal(key, (n, d), dtype=jnp.bfloat16)
     sqn = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1)
-    valid = jnp.ones((n,), dtype=bool)
+    valid = None  # no tombstones: fast path skips the [B, N] mask op
     qpool = jax.random.normal(
         jax.random.fold_in(key, 1), ((m + 1) * b, d), dtype=jnp.bfloat16
     )

@@ -243,3 +243,17 @@ def test_ivf_unsupported_metric():
     with pytest.raises(IndexError) as ei:
         IVFIndex(8, metric=Metric.MANHATTAN)
     assert ei.value.kind == IndexErrorKind.UNSUPPORTED_METRIC
+
+
+def test_ivf_select_beam_approximates_exhaustive():
+    """Reference ivf_select_beam_f32 (IVFSelect.swift:166): beam selection
+    over the centroid kNN graph approximates the exhaustive top-nprobe."""
+    rng = np.random.default_rng(7)
+    cents = jnp.asarray(rng.standard_normal((512, 32)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((8, 32)).astype(np.float32))
+    g = ivf_ops.build_centroid_graph(cents)
+    bd, bi = ivf_ops.ivf_select_beam(q, cents, g, nprobe=8)
+    ed, ei = ivf_ops.ivf_select(q, cents, nprobe=8)
+    bi, ei = np.asarray(bi), np.asarray(ei)
+    overlap = np.mean([len(set(bi[b]) & set(ei[b])) / 8 for b in range(8)])
+    assert overlap >= 0.85

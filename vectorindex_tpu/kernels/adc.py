@@ -57,18 +57,22 @@ def adc_scan_pallas(
     tile: int = DEFAULT_TILE,
     interpret: bool = False,
 ) -> Array:
-    """ADC distances [B, N] f32. N must be a multiple of `tile` (callers pad
-    with garbage rows and mask — standard CSR padding)."""
+    """ADC distances [B, N] f32 (rows padded internally to the tile size)."""
     n, m = codes.shape
     b, m2, ks = lut.shape
-    assert m2 == m and n % tile == 0, (n, tile)
+    assert m2 == m
+    pad = (-n) % tile
+    if pad:
+        codes = jnp.concatenate(
+            [codes, jnp.zeros((pad, m), dtype=codes.dtype)], axis=0
+        )
     # bf16 operands ride the MXU natively on TPU; the CPU interpreter lacks
     # bf16 dots, so interpret mode runs f32 (results identical up to
     # rounding — the one-hot side is exact either way)
     mxu_dtype = jnp.float32 if interpret else jnp.bfloat16
     lut_t = lut.reshape(b, m * ks).T.astype(mxu_dtype)  # [m·ks, B]
 
-    grid = (n // tile,)
+    grid = ((n + pad) // tile,)
     return pl.pallas_call(
         partial(_adc_kernel, m=m, ks=ks, mxu_dtype=mxu_dtype),
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
@@ -79,4 +83,4 @@ def adc_scan_pallas(
         ],
         out_specs=pl.BlockSpec((b, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(codes, lut_t)
+    )(codes, lut_t)[:, :n]

@@ -355,3 +355,64 @@ def rerank_exact_topk(
         raise ValueError(f"rerank unsupported metric {metric}")
     ids = candidates if cand_ids is None else cand_ids
     return topk_padded(dist, ~missing, k, ids=ids)
+
+
+# ---------------------------------------------------------------------------
+# #29 variant — beam selection over a centroid kNN graph
+# ---------------------------------------------------------------------------
+
+
+def build_centroid_graph(centroids: Array, degree: int = 16) -> Array:
+    """kNN graph over centroids [kc, degree] (the routing structure for
+    beam selection; reference ivf_select_beam_f32's centroid graph,
+    IVFSelect.swift:166)."""
+    from vectorindex_tpu.ops import scoring as _scoring
+
+    d2 = _scoring.l2sqr_block(centroids, centroids)
+    kc = centroids.shape[0]
+    eye = jax.lax.broadcasted_iota(jnp.int32, (kc, kc), 0) == jax.lax.broadcasted_iota(
+        jnp.int32, (kc, kc), 1
+    )
+    d2 = jnp.where(eye, INVALID_DIST, d2)  # exclude self (eye*inf would NaN)
+    _, nbrs = topk(d2, min(degree, kc - 1), strict_ties=True)
+    return nbrs
+
+
+@partial(jax.jit, static_argnames=("nprobe", "beam_width", "iters", "metric"))
+def ivf_select_beam(
+    q: Array,
+    centroids: Array,
+    centroid_graph: Array,  # [kc, degree] from build_centroid_graph
+    *,
+    nprobe: int,
+    beam_width: int = 32,
+    iters: int = 4,
+    metric: Metric = Metric.L2,
+) -> Tuple[Array, Array]:
+    """Beam-search centroid selection (reference ivf_select_beam_f32,
+    IVFSelect.swift:166): instead of scoring all kc centroids, walk the
+    centroid kNN graph from the globally-best seeds. Pays off when kc is
+    large (≥100k — the regime where the reference multi-threads the full
+    scan). Falls back to exhaustive behavior as beam_width·iters·degree
+    approaches kc."""
+    from vectorindex_tpu.ops import graph as gops
+
+    kc = centroids.shape[0]
+    sqn = scoring.squared_norms(centroids)
+    # seed the beam from a strided subsample scored exhaustively
+    stride = max(kc // (beam_width * 4), 1)
+    seeds = jnp.arange(0, kc, stride, dtype=jnp.int32)[: beam_width * 4]
+    seed_dist = scoring.distance_block(q, centroids[seeds], metric)
+    _, best = topk(seed_dist, 1, strict_ties=True)
+    entry = seeds[best[:, 0]]
+    beam = gops.beam_search(
+        q,
+        centroids,
+        sqn,
+        centroid_graph,
+        None,
+        entry,
+        ef=max(beam_width, nprobe),
+        iters=iters * beam_width,
+    )
+    return beam.dists[:, :nprobe], beam.ids[:, :nprobe]

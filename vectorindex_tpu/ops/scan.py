@@ -57,8 +57,12 @@ def candidate_count(k: int, c: int = DEFAULT_CANDIDATES) -> int:
 
 
 def _masked_distance(q, x, metric, sqnorms, invnorms, valid):
+    """valid=None (the common no-tombstone case) skips the [B, N] mask op —
+    the `where` breaks XLA's matmul fusion and costs ~1.3 ms at 256×1M."""
     norms = scoring.NormCache(sq=sqnorms, inv=invnorms)
     dist = scoring.distance_block(q, x, metric, norms=norms)
+    if valid is None:
+        return dist
     return jnp.where(valid[None, :], dist, INVALID_DIST)
 
 
@@ -84,7 +88,10 @@ def scan_topk_verified(
 
     c = min(candidate_count(k, candidates), n)
     if c >= n:
-        d, i = topk_padded(dist, valid[None, :], k)
+        if valid is None:
+            d, i = topk(dist, k, strict_ties=True)
+        else:
+            d, i = topk_padded(dist, valid[None, :], k)
         return d, i, jnp.ones((q.shape[0],), bool)
 
     cd, ci = jax.lax.approx_min_k(dist, c, recall_target=0.95, aggregate_to_topk=False)
@@ -103,7 +110,7 @@ def scan_topk_verified(
 
     def count_range(start, size, acc):
         xs = jax.lax.dynamic_slice_in_dim(x, start, size)
-        vs = jax.lax.dynamic_slice_in_dim(valid, start, size)
+        vs = None if valid is None else jax.lax.dynamic_slice_in_dim(valid, start, size)
         ss = (
             jax.lax.dynamic_slice_in_dim(sqnorms, start, size)
             if sqnorms is not None
@@ -127,7 +134,7 @@ def scan_topk_verified(
         global_below = count_range(nc * COUNT_CHUNKS, rem, global_below)
 
     result_below = jnp.sum((sd < thresh[:, None]).astype(jnp.int32), axis=-1)
-    n_valid = jnp.sum(valid.astype(jnp.int32))
+    n_valid = n if valid is None else jnp.sum(valid.astype(jnp.int32))
     exact = jnp.where(
         jnp.isfinite(tau), global_below == result_below, n_valid <= c
     )
