@@ -30,6 +30,17 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 DEFAULT_TILE = 512
+# scoped VMEM budget for the one-hot tile (one-hot [tile, m*ks] bf16 is the
+# dominant allocation; the hw limit is 16 MB and the LUT/acc need room)
+VMEM_ONEHOT_BUDGET = 6 * 1024 * 1024
+
+
+def auto_tile(m: int, ks: int, requested: int = DEFAULT_TILE) -> int:
+    """Largest pow2 tile whose one-hot fits the VMEM budget (tile=2048 at
+    m·ks=4096 OOMs scoped vmem: 18.8M > 16M — measured)."""
+    cap = max(128, VMEM_ONEHOT_BUDGET // (m * ks * 2))
+    cap = 1 << (cap.bit_length() - 1)
+    return min(requested, cap)
 
 
 def _adc_kernel(codes_ref, lut_t_ref, out_ref, *, m: int, ks: int, mxu_dtype):
@@ -61,6 +72,7 @@ def adc_scan_pallas(
     n, m = codes.shape
     b, m2, ks = lut.shape
     assert m2 == m
+    tile = auto_tile(m, ks, tile)
     pad = (-n) % tile
     if pad:
         codes = jnp.concatenate(

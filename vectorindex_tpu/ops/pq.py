@@ -257,17 +257,23 @@ def adc_scan(
     codes: Array,
     lut: Array,
     *,
-    strategy: str = "onehot",
+    strategy: str = "auto",
     chunk: int = 8192,
 ) -> Array:
     """dist[b, i] = Σ_j LUT[b, j, codes[i, j]] (reference adc_scan_u8,
     ADCScan.swift:54). codes [n, m] u8, lut [B, m, ks] → [B, n] f32.
 
-    strategy='onehot': one-hot(codes) [chunk, m·ks] @ lutᵀ [m·ks, B] — the
-    one-hot expansion is shared by every query in the batch, so each corpus
-    byte is touched once per batch while the accumulation rides the MXU.
-    strategy='gather': flat-index XLA gather; better at B ≲ 8.
+    strategy='auto': the Pallas kernel on TPU (measured 9.3 ms vs 83/36 ms
+    for the XLA strategies at 1M×128q, kernels/adc.py), 'gather' elsewhere.
+    strategy='onehot': XLA one-hot(codes) @ lutᵀ (MXU, but materializes the
+    one-hot in HBM). strategy='gather': flat-index XLA gather.
     """
+    if strategy == "auto":
+        if jax.default_backend() not in ("cpu",):
+            from vectorindex_tpu.kernels.adc import adc_scan_pallas
+
+            return adc_scan_pallas(codes, lut)
+        strategy = "gather"
     n, m = codes.shape
     b, m2, ks = lut.shape
     assert m2 == m
