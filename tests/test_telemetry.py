@@ -87,3 +87,32 @@ def test_flat_search_emits_telemetry():
     rec = TELEM.recent(1)[0]
     assert rec.rows_scored == 4 * 100
     assert "dot_trick" in rec.flags
+
+
+# -- debug checks (SURVEY.md §5.2) --
+
+
+def test_debug_check_finite_and_invariants():
+    from vectorindex_tpu.utils import debug
+    from vectorindex_tpu.utils.errors import IndexError
+
+    debug.enable()
+    try:
+        import pytest
+
+        with pytest.raises(IndexError):
+            debug.check_finite("x", np.asarray([1.0, np.nan]))
+        debug.check_finite("ok", np.ones(3))
+        # healthy index passes the invariant sweep
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((50, 8)).astype(np.float32)
+        idx = FlatIndex(8)
+        idx.insert_batch(list(range(50)), x)
+        debug.check_index_invariants(idx)
+        # corrupt the control plane -> caught
+        idx._valid[idx._idmap.lookup(3)] = False
+        with pytest.raises(IndexError):
+            debug.check_index_invariants(idx)
+    finally:
+        debug.disable()
+    assert not debug.is_enabled()

@@ -254,8 +254,11 @@ class HNSWIndex(VectorIndex):
             self._dev_layers.append(None)
         if self._dev_layers[l] is None:
             layer = self._layers[l]
-            n = max(layer.count, 1)
-            nbrs = jnp.asarray(layer.nbrs[:n])
+            # full pow2-capacity backing array → stable shapes across chunks
+            # (slicing to layer.count recompiled every chunk: minutes per
+            # program on remote-compile platforms)
+            nbrs = jnp.asarray(layer.nbrs if layer.nbrs.shape[0] else
+                               np.full((1, layer.max_degree), -1, np.int32))
             if l == 0:
                 lookup = None
             else:
@@ -298,6 +301,21 @@ class HNSWIndex(VectorIndex):
         if len(pending) >= max(64, n_before // 4):
             self._refine_level0()
         self._repair_orphans()
+
+    def _beam_params(self, ef_target: int):
+        """pow2-bucketed (ef, iters): stable jit shapes while the graph
+        grows (exact-count params recompiled every chunk)."""
+        n = max(self._layers[0].count, 1)
+        ef = min(ef_target, n)
+        if ef < ef_target:
+            ef = 1 << max(ef - 1, 1).bit_length()  # round UP to pow2
+            ef = min(ef, ef_target)
+        return ef, min(ef, 64)
+
+    def _descent_steps(self, l: int) -> int:
+        """pow2-bucketed greedy-descent step count per level."""
+        want = max(4, int(np.log2(max(self._layers[l].count, 2))) + 2)
+        return 1 << (want - 1).bit_length()
 
     def _sample_level(self) -> int:
         lvl = int(
@@ -342,14 +360,14 @@ class HNSWIndex(VectorIndex):
         # greedy descent through upper levels
         for l in range(max_level, 0, -1):
             nbrs, lookup = self._sync_layer_device(l)
-            steps = max(4, int(np.log2(max(self._layers[l].count, 2))) + 2)
-            entry = gops.greedy_descent(q, gv, sqn, nbrs, lookup, entry, steps=steps)
+            entry = gops.greedy_descent(
+                q, gv, sqn, nbrs, lookup, entry, steps=self._descent_steps(l)
+            )
 
         # level-0 candidates via batched beam
         nbrs0, _ = self._sync_layer_device(0)
         lookup0 = jnp.asarray(self._lookup0)
-        ef = min(cfg.ef_construction, max(self._layers[0].count, 1))
-        iters = min(ef, 64)
+        ef, iters = self._beam_params(cfg.ef_construction)
         beam = gops.beam_search(
             q, gv, sqn, nbrs0, lookup0, entry, ef=ef, iters=iters
         )
@@ -433,7 +451,7 @@ class HNSWIndex(VectorIndex):
         self._invalidate_layer(0)
         nbrs0, _ = self._sync_layer_device(0)
         lookup0 = jnp.asarray(self._lookup0)
-        ef = min(cfg.ef_construction, n)
+        ef, iters = self._beam_params(cfg.ef_construction)
         new_nbrs = np.full_like(old_nbrs, -1)
         c = cfg.build_chunk
         for i in range(0, n, c):
@@ -441,7 +459,7 @@ class HNSWIndex(VectorIndex):
             q = jnp.asarray(self._graph_vecs[batch_slots])
             entry = jnp.full((len(batch_slots),), self._entry, dtype=jnp.int32)
             beam = gops.beam_search(
-                q, gv, sqn, nbrs0, lookup0, entry, ef=ef, iters=min(ef, 64)
+                q, gv, sqn, nbrs0, lookup0, entry, ef=ef, iters=iters
             )
             bd = np.asarray(beam.dists)
             bi = np.asarray(beam.ids)
@@ -635,15 +653,15 @@ class HNSWIndex(VectorIndex):
         entry = jnp.full((b,), self._entry, dtype=jnp.int32)
         for l in range(len(self._layers) - 1, 0, -1):
             nbrs, lookup = self._sync_layer_device(l)
-            steps = max(4, int(np.log2(max(self._layers[l].count, 2))) + 2)
-            entry = gops.greedy_descent(qg, gv, sqn, nbrs, lookup, entry, steps=steps)
+            entry = gops.greedy_descent(
+                qg, gv, sqn, nbrs, lookup, entry, steps=self._descent_steps(l)
+            )
 
         nbrs0, _ = self._sync_layer_device(0)
         lookup0 = jnp.asarray(self._lookup0)
-        ef = max(self.config.ef_search, k)
-        ef = min(ef, max(self._layers[0].count, 1))
+        ef, iters = self._beam_params(max(self.config.ef_search, k))
         beam = gops.beam_search(
-            qg, gv, sqn, nbrs0, lookup0, entry, ef=ef, iters=min(ef, 64)
+            qg, gv, sqn, nbrs0, lookup0, entry, ef=ef, iters=iters
         )
         # exclude tombstones (allow-bitset, reference :112-119) + final top-k
         ids = np.asarray(beam.ids)
