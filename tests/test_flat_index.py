@@ -182,3 +182,18 @@ def test_statistics():
     assert st.dimension == 4
     assert st.metric == "l2"
     assert st.memory_bytes > 0
+
+
+def test_range_search_api():
+    idx, x = _mk(n=100, d=8)
+    # radius covering the 5 nearest of v0
+    d = np.sort(np.linalg.norm(x - x[0], axis=1))
+    r = float(d[5]) + 1e-5
+    res = idx.range_search(x[0], radius=r, max_results=50)
+    assert res[0].id == "v0"
+    assert len(res) == 6  # self + 5 within radius
+    assert all(rr.score <= r + 1e-4 for rr in res)
+    # filter applies
+    idx2, x2 = _mk(n=60, d=8, meta=True)
+    res = idx2.range_search(x2[0], radius=100.0, filter=lambda m: m and m["i"] < 5)
+    assert {rr.metadata["i"] for rr in res} <= set(range(5))

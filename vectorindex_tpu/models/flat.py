@@ -330,6 +330,53 @@ class FlatIndex(VectorIndex):
     ) -> list[SearchResult]:
         return self.batch_search(np.asarray(query)[None, :], k, filter)[0]
 
+    def range_search(
+        self,
+        query,
+        radius: float,
+        max_results: int = 128,
+        filter: Optional[FilterFn] = None,
+    ) -> list[SearchResult]:
+        """Threshold query (#07): all vectors within `radius` (L2 distance)
+        or with score ≥ radius (IP/cosine), nearest-first, capped at
+        max_results (reference rangeScanBlock compacted mode)."""
+        from vectorindex_tpu.ops.range_query import range_scan
+
+        q = np.asarray(query, dtype=np.float32)[None, :]
+        if q.shape[1] != self.dimension:
+            raise dimension_mismatch(self.dimension, q.shape[1], "range_search")
+        if self.count == 0:
+            return []
+        vecs, sqn, inv, valid = self._sync_device()
+        vmask = (
+            jnp.asarray(self._filter_valid(filter)) if filter is not None else valid
+        )
+        res = range_scan(
+            jnp.asarray(q),
+            vecs,
+            radius,
+            metric=self.metric,
+            max_results=min(max_results, self.capacity),
+            valid=vmask,
+            x_sqnorms=sqn,
+            x_invnorms=inv,
+        )
+        dists = np.asarray(res.dists)[0]
+        ids = np.asarray(res.ids)[0]
+        scores = self._public_score(dists)
+        out: list[SearchResult] = []
+        for j in range(len(ids)):
+            if ids[j] == INVALID_ID or not np.isfinite(dists[j]):
+                break
+            out.append(
+                SearchResult(
+                    id=self._idmap.external_for(int(ids[j])),
+                    score=float(scores[j]),
+                    metadata=self._metadata[int(ids[j])],
+                )
+            )
+        return out
+
     # ------------------------------------------------------------------
     # maintenance
     # ------------------------------------------------------------------

@@ -303,14 +303,10 @@ class HNSWIndex(VectorIndex):
         self._repair_orphans()
 
     def _beam_params(self, ef_target: int):
-        """pow2-bucketed (ef, iters): stable jit shapes while the graph
-        grows (exact-count params recompiled every chunk)."""
-        n = max(self._layers[0].count, 1)
-        ef = min(ef_target, n)
-        if ef < ef_target:
-            ef = 1 << max(ef - 1, 1).bit_length()  # round UP to pow2
-            ef = min(ef, ef_target)
-        return ef, min(ef, 64)
+        """Fixed (ef, iters) regardless of graph size: beam slots beyond the
+        node count stay INVALID and cost little, while varying ef recompiles
+        the program (minutes each on remote-compile platforms)."""
+        return ef_target, min(ef_target, 64)
 
     def _descent_steps(self, l: int) -> int:
         """pow2-bucketed greedy-descent step count per level."""
@@ -351,11 +347,20 @@ class HNSWIndex(VectorIndex):
             slots = rest
             chunk_levels = chunk_levels[1:]
 
-        q = jnp.asarray(self._graph_vecs[np.asarray(slots, dtype=np.int64)])
         gv, sqn = self._sync_vec_device()
         b = len(slots)
+        # pad the batch to the configured chunk size: a fresh shape per
+        # chunk (the doubling schedule produces many) would recompile the
+        # whole beam pipeline every time
+        bpad = cfg.build_chunk
+        q_np = self._graph_vecs[np.asarray(slots, dtype=np.int64)]
+        if b < bpad:
+            q_np = np.concatenate(
+                [q_np, np.repeat(q_np[-1:], bpad - b, axis=0)], axis=0
+            )
+        q = jnp.asarray(q_np)
         max_level = len(self._layers) - 1
-        entry = jnp.full((b,), self._entry, dtype=jnp.int32)
+        entry = jnp.full((bpad,), self._entry, dtype=jnp.int32)
 
         # greedy descent through upper levels
         for l in range(max_level, 0, -1):
@@ -373,24 +378,25 @@ class HNSWIndex(VectorIndex):
         )
         # chunk-internal candidates: batched insertion means chunk members
         # aren't in the graph yet — add each member's within-chunk nearest
-        # neighbors to the candidate pool so intra-chunk edges form
+        # neighbors to the candidate pool so intra-chunk edges form.
+        # Fixed width (cfg.m) + INVALID padding keeps shapes chunk-invariant.
         xc = self._graph_vecs[np.asarray(slots, dtype=np.int64)]
-        dcc = ((xc[:, None, :] - xc[None, :, :]) ** 2).sum(-1).astype(np.float32)
-        np.fill_diagonal(dcc, np.inf)
-        n_int = min(cfg.m, b - 1) if b > 1 else 0
-        if n_int > 0:
+        int_ids = np.full((bpad, cfg.m), INVALID_ID, dtype=np.int32)
+        int_d = np.full((bpad, cfg.m), np.inf, dtype=np.float32)
+        if b > 1:
+            dcc = ((xc[:, None, :] - xc[None, :, :]) ** 2).sum(-1).astype(np.float32)
+            np.fill_diagonal(dcc, np.inf)
+            n_int = min(cfg.m, b - 1)
             order = np.argsort(dcc, axis=1)[:, :n_int]
-            int_ids = np.asarray(slots, dtype=np.int32)[order]
-            int_d = np.take_along_axis(dcc, order, axis=1)
-            all_d = jnp.concatenate([beam.dists, jnp.asarray(int_d)], axis=1)
-            all_i = jnp.concatenate([beam.ids, jnp.asarray(int_ids)], axis=1)
-            sd, si = jax.lax.sort((all_d, all_i), dimension=-1, num_keys=2)
-            cand_d, cand_i = sd[:, :ef], si[:, :ef]
-        else:
-            cand_d, cand_i = beam.dists, beam.ids
+            int_ids[:b, :n_int] = np.asarray(slots, dtype=np.int32)[order]
+            int_d[:b, :n_int] = np.take_along_axis(dcc, order, axis=1)
+        all_d = jnp.concatenate([beam.dists, jnp.asarray(int_d)], axis=1)
+        all_i = jnp.concatenate([beam.ids, jnp.asarray(int_ids)], axis=1)
+        sd, si = jax.lax.sort((all_d, all_i), dimension=-1, num_keys=2)
+        cand_d, cand_i = sd[:, :ef], si[:, :ef]
         selected = np.asarray(
             gops.select_neighbors_diverse(cand_d, cand_i, gv, sqn, m=cfg.m)
-        )  # [b, m] global slot ids
+        )[:b]  # [b, m] global slot ids (padded rows discarded)
 
         # register all chunk rows first so intra-chunk reverse edges resolve
         layer0 = self._layers[0]
@@ -454,52 +460,52 @@ class HNSWIndex(VectorIndex):
         ef, iters = self._beam_params(cfg.ef_construction)
         new_nbrs = np.full_like(old_nbrs, -1)
         c = cfg.build_chunk
+        # fixed shapes across refine batches: pad the last batch to c and
+        # use a constant extra-candidate width (old out-edges + in-edges,
+        # truncated by distance when a node has more reverse edges)
+        ex_width = 4 * layer0.max_degree
         for i in range(0, n, c):
             batch_slots = slots_all[i : i + c]
-            q = jnp.asarray(self._graph_vecs[batch_slots])
-            entry = jnp.full((len(batch_slots),), self._entry, dtype=jnp.int32)
+            b = len(batch_slots)
+            bs_pad = (
+                np.concatenate([batch_slots, np.repeat(batch_slots[-1:], c - b)])
+                if b < c
+                else batch_slots
+            )
+            q = jnp.asarray(self._graph_vecs[bs_pad])
+            entry = jnp.full((c,), self._entry, dtype=jnp.int32)
             beam = gops.beam_search(
                 q, gv, sqn, nbrs0, lookup0, entry, ef=ef, iters=iters
             )
             bd = np.asarray(beam.dists)
             bi = np.asarray(beam.ids)
-            # merge old out/in edges into the candidate pool
-            extra_ids = []
-            for j, s in enumerate(batch_slots):
+            # merge old out/in edges into the candidate pool (fixed width)
+            ex = np.full((c, ex_width), INVALID_ID, dtype=np.int32)
+            for j in range(b):
+                s = bs_pad[j]
                 row = self._lookup0[s]
-                merged = set(
-                    int(v) for v in old_nbrs[row] if v >= 0
-                ) | set(rev[s])
+                merged = set(int(v) for v in old_nbrs[row] if v >= 0) | set(rev[s])
                 merged.discard(int(s))
-                extra_ids.append(sorted(merged))
-            width = max((len(e) for e in extra_ids), default=0)
-            if width:
-                ex = np.full((len(batch_slots), width), INVALID_ID, dtype=np.int32)
-                for j, e in enumerate(extra_ids):
-                    ex[j, : len(e)] = e
-                ex_safe = np.where(ex != INVALID_ID, ex, 0)
-                exd = np.where(
-                    ex != INVALID_ID,
-                    (
-                        (
-                            self._graph_vecs[ex_safe]
-                            - self._graph_vecs[batch_slots][:, None, :]
-                        )
-                        ** 2
-                    ).sum(-1),
-                    np.inf,
-                ).astype(np.float32)
-                all_d = jnp.concatenate([jnp.asarray(bd), jnp.asarray(exd)], axis=1)
-                all_i = jnp.concatenate([jnp.asarray(bi), jnp.asarray(ex)], axis=1)
-                sd, si = jax.lax.sort((all_d, all_i), dimension=-1, num_keys=2)
-                cd, ci = sd[:, :ef], si[:, :ef]
-            else:
-                cd, ci = jnp.asarray(bd), jnp.asarray(bi)
+                e = sorted(merged)[:ex_width]
+                ex[j, : len(e)] = e
+            ex_safe = np.where(ex != INVALID_ID, ex, 0)
+            exd = np.where(
+                ex != INVALID_ID,
+                (
+                    (self._graph_vecs[ex_safe] - self._graph_vecs[bs_pad][:, None, :])
+                    ** 2
+                ).sum(-1),
+                np.inf,
+            ).astype(np.float32)
+            all_d = jnp.concatenate([jnp.asarray(bd), jnp.asarray(exd)], axis=1)
+            all_i = jnp.concatenate([jnp.asarray(bi), jnp.asarray(ex)], axis=1)
+            sd, si = jax.lax.sort((all_d, all_i), dimension=-1, num_keys=2)
+            cd, ci = sd[:, :ef], si[:, :ef]
             # drop self + duplicates (candidates are (d, i)-sorted, so dup
             # ids sit adjacent)
             ci_np = np.array(ci)
             cd_np = np.array(cd)
-            self_mask = ci_np == batch_slots[:, None]
+            self_mask = ci_np == bs_pad[:, None]
             dup_mask = np.zeros_like(self_mask)
             dup_mask[:, 1:] = ci_np[:, 1:] == ci_np[:, :-1]
             kill = self_mask | dup_mask
@@ -510,7 +516,8 @@ class HNSWIndex(VectorIndex):
                     jnp.asarray(cd_np), jnp.asarray(ci_np), gv, sqn, m=cfg.m
                 )
             )
-            for j, s in enumerate(batch_slots):
+            for j in range(b):
+                s = batch_slots[j]
                 row = self._lookup0[s]
                 picks = [int(v) for v in sel[j] if v != INVALID_ID]
                 new_nbrs[row, :] = -1
