@@ -314,21 +314,24 @@ class HNSWIndex(VectorIndex):
         return 1 << (want - 1).bit_length()
 
     def _sample_level(self) -> int:
-        lvl = int(
-            np.asarray(
-                gops.sample_levels(
-                    vrng.split_stream(self._key, self._level_counter),
-                    1,
-                    self.config.m,
-                )
-            )[0]
+        return self._sample_levels(1)[0]
+
+    def _sample_levels(self, n: int) -> list[int]:
+        """Batched geometric level sampling — one host draw per chunk. The
+        per-node device call costs a full tunnel round-trip (~25 ms) on
+        remote platforms; numpy with the same geometric law keeps the
+        deterministic (seed, counter) contract."""
+        rng = np.random.default_rng(
+            (self.config.seed ^ 0x9E3779B97F4A7C15) + self._level_counter
         )
-        self._level_counter += 1
-        return lvl
+        self._level_counter += n
+        u = rng.uniform(1e-12, 1.0, n)
+        ml = 1.0 / np.log(max(float(self.config.m), 2.0))
+        return np.minimum(np.floor(-np.log(u) * ml), gops.LEVEL_CAP).astype(int).tolist()
 
     def _build_chunk(self, slots: list[int]) -> None:
         cfg = self.config
-        chunk_levels = [self._sample_level() for _ in slots]
+        chunk_levels = self._sample_levels(len(slots))
 
         if self._entry < 0:
             # bootstrap: first node becomes entry at its level
