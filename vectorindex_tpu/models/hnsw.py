@@ -676,9 +676,19 @@ class HNSWIndex(VectorIndex):
         # exclude tombstones (allow-bitset, reference :112-119) + final top-k
         ids = np.asarray(beam.ids)
         dists = np.asarray(beam.dists)
-        allow = np.where(
-            (ids != INVALID_ID) & (ids >= 0), self._valid[np.maximum(ids, 0)], False
-        )
+        safe = np.where((ids != INVALID_ID) & (ids >= 0), ids, 0)
+        allow = np.where((ids != INVALID_ID) & (ids >= 0), self._valid[safe], False)
+        # vectorized true-metric rescore of the whole beam (per-result numpy
+        # calls dominated assembly time at batch scale)
+        v = self._vectors[safe]  # [B, ef, d]
+        if self.metric == Metric.L2:
+            scores = np.linalg.norm(v - q[:, None, :], axis=-1)
+        elif self.metric == Metric.INNER_PRODUCT:
+            scores = np.einsum("bed,bd->be", v, q)
+        else:
+            vn = v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+            qn = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
+            scores = np.einsum("bed,bd->be", vn, qn)
         out: list[list[SearchResult]] = []
         for i in range(b):
             order = np.argsort(np.where(allow[i], dists[i], np.inf), kind="stable")
@@ -694,10 +704,11 @@ class HNSWIndex(VectorIndex):
                 meta = self._metadata[slot]
                 if filter is not None and not filter(meta):
                     continue
-                score = float(self._rescore(np.asarray([slot]), q[i])[0])
                 row.append(
                     SearchResult(
-                        id=self._idmap.external_for(slot), score=score, metadata=meta
+                        id=self._idmap.external_for(slot),
+                        score=float(scores[i, j]),
+                        metadata=meta,
                     )
                 )
                 if len(row) == k:

@@ -133,10 +133,22 @@ def l2sqr_block(
 
 def l2sqr_block_direct(q: Array, x: Array) -> Array:
     """Direct Σ(q−x)² via broadcasting — the strict/oracle path (reference
-    strictFP + `L2Sqr.runScalarRef`, L2Sqr.swift:88-100). O(B·N·d) memory in
-    the intermediate; for tests and small blocks only."""
-    diff = q[:, None, :].astype(jnp.float32) - x[None, :, :].astype(jnp.float32)
-    return jnp.sum(jnp.square(diff), axis=-1)
+    strictFP + `L2Sqr.runScalarRef`, L2Sqr.swift:88-100). Chunks the corpus
+    so the [B, chunk, d] intermediate stays bounded (~64 MB)."""
+    b, d = q.shape
+    n = x.shape[0]
+    chunk = max(1, min(n, (16 * 1024 * 1024) // max(b * d, 1)))
+
+    def direct(xs):
+        diff = q[:, None, :].astype(jnp.float32) - xs[None, :, :].astype(jnp.float32)
+        return jnp.sum(jnp.square(diff), axis=-1)
+
+    if n <= chunk:
+        return direct(x)
+    pad = (-n) % chunk
+    xp = jnp.concatenate([x, jnp.zeros((pad, d), x.dtype)]) if pad else x
+    out = jax.lax.map(direct, xp.reshape(-1, chunk, d))  # [nc, B, chunk]
+    return out.transpose(1, 0, 2).reshape(b, -1)[:, :n]
 
 
 def inner_product_block(q: Array, x: Array) -> Array:
