@@ -51,13 +51,19 @@ def time_loop(search_outputs_fn, qpool, b, m):
     f1, fm = run_m(1), run_m(m + 1)
     jax.device_get(f1(qpool))
     jax.device_get(fm(qpool))
-    t0 = time.perf_counter()
-    jax.device_get(f1(qpool))
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    r = jax.device_get(fm(qpool))
-    tm = time.perf_counter() - t0
-    return (tm - t1) / m, r
+    # best-of-3: the tunnel adds ±25% run-to-run noise
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(f1(qpool))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        r = jax.device_get(fm(qpool))
+        tm = time.perf_counter() - t0
+        per = (tm - t1) / m
+        if best is None or per < best:
+            best = per
+    return best, r
 
 
 def main():
