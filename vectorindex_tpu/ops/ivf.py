@@ -272,12 +272,14 @@ def ivf_search_flat(
         rows = jnp.where(valid, rows, 0)
         cand = rows.reshape(qc.shape[0], nprobe * probe_cap)
         vmask = valid.reshape(qc.shape[0], nprobe * probe_cap)
-        xg = arrays.vecs[cand]  # [C, P, d]
+        xg = arrays.vecs[cand]  # [C, P, d] — storage dtype (bf16 fast path)
         sg = arrays.sqnorms[cand]
         ig = arrays.row_ids[cand]
-        # per-query scoring: qc [C, d] vs xg [C, P, d]
+        # per-query scoring: qc [C, d] vs xg [C, P, d]; keep the storage
+        # dtype into the dot (an astype here materializes an f32 copy of
+        # the whole gathered block)
         g = jnp.einsum(
-            "cd,cpd->cp", qc.astype(jnp.float32), xg.astype(jnp.float32),
+            "cd,cpd->cp", qc.astype(xg.dtype), xg,
             preferred_element_type=jnp.float32,
         )
         if metric == Metric.L2:
