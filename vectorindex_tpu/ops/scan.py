@@ -41,7 +41,9 @@ import jax.numpy as jnp
 
 from vectorindex_tpu.ops import scoring
 from vectorindex_tpu.ops.topk import INVALID_DIST, topk, topk_padded
-from vectorindex_tpu.utils.config import Metric
+from vectorindex_tpu.utils.config import Metric, ScoreOpts
+
+_NOCLAMP = ScoreOpts(clamp=False)
 
 Array = jax.Array
 
@@ -60,7 +62,9 @@ def _masked_distance(q, x, metric, sqnorms, invnorms, valid):
     """valid=None (the common no-tombstone case) skips the [B, N] mask op —
     the `where` breaks XLA's matmul fusion and costs ~1.3 ms at 256×1M."""
     norms = scoring.NormCache(sq=sqnorms, inv=invnorms)
-    dist = scoring.distance_block(q, x, metric, norms=norms)
+    # unclamped distances: selection/count pipelines are monotone-invariant,
+    # and the [B, N] clamp forces an extra full-matrix HBM round-trip
+    dist = scoring.distance_block(q, x, metric, norms=norms, opts=_NOCLAMP)
     if valid is None:
         return dist
     return jnp.where(valid[None, :], dist, INVALID_DIST)
@@ -138,6 +142,8 @@ def scan_topk_verified(
     exact = jnp.where(
         jnp.isfinite(tau), global_below == result_below, n_valid <= c
     )
+    if metric == Metric.L2:
+        sd = jnp.maximum(sd, 0.0)  # clamp only the k survivors
     return sd, si, exact
 
 
@@ -159,7 +165,10 @@ def scan_topk_strict(
     positions (dense corpus scan), so this satisfies the (score, id) contract
     exactly, ~30× cheaper than the two-key full sort."""
     dist = _masked_distance(q, x, metric, sqnorms, invnorms, valid)
-    return topk(dist, k, strict_ties=False)
+    d, i = topk(dist, k, strict_ties=False)
+    if metric == Metric.L2:
+        d = jnp.maximum(d, 0.0)
+    return d, i
 
 
 def pad_queries(q, multiple: int = 8):

@@ -114,6 +114,7 @@ def l2sqr_block(
     x: Array,
     x_sqnorms: Optional[Array] = None,
     q_sqnorms: Optional[Array] = None,
+    clamp: bool = True,
 ) -> Array:
     """Squared L2 distances [B,N] via the dot-trick.
 
@@ -121,6 +122,11 @@ def l2sqr_block(
     dot-trick chosen at d≥256 (:122-134). On TPU the dot-trick is always the
     right form (the Gram matrix rides the MXU); clamping at 0 guards the
     cancellation the reference's direct path avoids.
+
+    clamp=False skips the max(·, 0): the clamp is monotone so *selection*
+    pipelines rank identically without it, and on [B, N] blocks feeding the
+    PartialReduce custom call it forces an extra full-matrix HBM round-trip
+    (~1 ms at 256×1M). Selection paths clamp only the k survivors.
     """
     if x_sqnorms is None:
         x_sqnorms = squared_norms(x)
@@ -128,7 +134,7 @@ def l2sqr_block(
         q_sqnorms = squared_norms(q)
     g = _gram(q, x)
     d2 = q_sqnorms[:, None] + x_sqnorms[None, :].astype(jnp.float32) - 2.0 * g
-    return jnp.maximum(d2, 0.0)
+    return jnp.maximum(d2, 0.0) if clamp else d2
 
 
 def l2sqr_block_direct(q: Array, x: Array) -> Array:
@@ -216,6 +222,7 @@ def score_block(
             x,
             x_sqnorms=None if norms is None else norms.sq,
             q_sqnorms=None if q_norms is None else q_norms.sq,
+            clamp=opts.clamp,
         )
     if metric == Metric.INNER_PRODUCT:
         return inner_product_block(q, x)

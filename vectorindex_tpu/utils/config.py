@@ -77,6 +77,7 @@ class ScoreOpts:
     use_dot_trick: Optional[bool] = None
     strict_fp: bool = False
     chunk_rows: int = 0  # 0 = no chunking (whole block at once)
+    clamp: bool = True  # max(d²,0); selection paths may skip (monotone)
 
 
 @dataclass(frozen=True)
