@@ -23,4 +23,11 @@ Top-level namespaces:
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Partitionable threefry: sharding-invariant RNG streams (and the config the
+# test harness runs under — one setting everywhere keeps (seed, stream)
+# draws identical across CPU tests and TPU production).
+_jax.config.update("jax_threefry_partitionable", True)
+
 from vectorindex_tpu.utils.errors import IndexError, IndexErrorKind  # noqa: F401
