@@ -29,15 +29,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-DEFAULT_TILE = 512
+DEFAULT_TILE = 1024
 # scoped VMEM budget for the one-hot tile (one-hot [tile, m*ks] bf16 is the
 # dominant allocation; the hw limit is 16 MB and the LUT/acc need room)
-VMEM_ONEHOT_BUDGET = 6 * 1024 * 1024
+VMEM_ONEHOT_BUDGET = 9 * 1024 * 1024
 
 
 def auto_tile(m: int, ks: int, requested: int = DEFAULT_TILE) -> int:
-    """Largest pow2 tile whose one-hot fits the VMEM budget (tile=2048 at
-    m·ks=4096 OOMs scoped vmem: 18.8M > 16M — measured)."""
+    """Largest pow2 tile whose one-hot fits the VMEM budget (measured at
+    m·ks=4096: tile=1024 → 5.1 ms / 25G row-q/s at roofline; tile=2048
+    OOMs scoped vmem at 18.8M > 16M)."""
     cap = max(128, VMEM_ONEHOT_BUDGET // (m * ks * 2))
     cap = 1 << (cap.bit_length() - 1)
     return min(requested, cap)
@@ -50,14 +51,14 @@ def _adc_kernel(codes_ref, lut_t_ref, out_ref, *, m: int, ks: int, mxu_dtype):
     # one-hot expansion in VMEM: [T, m, ks] compares on the VPU
     ks_iota = jax.lax.broadcasted_iota(jnp.int32, (t, m, ks), dimension=2)
     onehot = (codes[:, :, None] == ks_iota).astype(mxu_dtype).reshape(t, m * ks)
-    # MXU: [T, m·ks] @ [m·ks, B] -> [T, B], f32 accumulate
-    acc = jax.lax.dot_general(
-        onehot,
+    # MXU: contract [m·ks, B] × [T, m·ks] → [B, T] directly (a [T, B]
+    # result + in-kernel transpose costs a Mosaic relayout per tile)
+    out_ref[:] = jax.lax.dot_general(
         lut_t_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        onehot,
+        dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    out_ref[:] = acc.T  # [B, T]
 
 
 @partial(jax.jit, static_argnames=("tile", "interpret"))

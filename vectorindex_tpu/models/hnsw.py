@@ -302,11 +302,14 @@ class HNSWIndex(VectorIndex):
             self._refine_level0()
         self._repair_orphans()
 
-    def _beam_params(self, ef_target: int):
+    def _beam_params(self, ef_target: int, expand: int = 1):
         """Fixed (ef, iters) regardless of graph size: beam slots beyond the
         node count stay INVALID and cost little, while varying ef recompiles
-        the program (minutes each on remote-compile platforms)."""
-        return ef_target, min(ef_target, 64)
+        the program (minutes each on remote-compile platforms). With
+        expand > 1 the iteration count shrinks to keep total expansions at
+        ~min(ef, 64) (the device loop is latency-bound)."""
+        total = min(ef_target, 64)
+        return ef_target, -(-total // expand)
 
     def _descent_steps(self, l: int) -> int:
         """pow2-bucketed greedy-descent step count per level."""
@@ -669,9 +672,12 @@ class HNSWIndex(VectorIndex):
 
         nbrs0, _ = self._sync_layer_device(0)
         lookup0 = jnp.asarray(self._lookup0)
-        ef, iters = self._beam_params(max(self.config.ef_search, k))
+        # search expands 4 slots per iteration: ~4x fewer sequential steps
+        # for the same expansion budget (construction stays at 1 for strict
+        # best-first candidate quality)
+        ef, iters = self._beam_params(max(self.config.ef_search, k), expand=4)
         beam = gops.beam_search(
-            qg, gv, sqn, nbrs0, lookup0, entry, ef=ef, iters=iters
+            qg, gv, sqn, nbrs0, lookup0, entry, ef=ef, iters=iters, expand=4
         )
         # exclude tombstones (allow-bitset, reference :112-119) + final top-k
         ids = np.asarray(beam.ids)

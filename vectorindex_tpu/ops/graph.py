@@ -125,7 +125,7 @@ class BeamResult(NamedTuple):
     ids: Array  # [B, ef] global ids (INVALID_ID padded)
 
 
-@partial(jax.jit, static_argnames=("ef", "iters"))
+@partial(jax.jit, static_argnames=("ef", "iters", "expand"))
 def beam_search(
     q: Array,  # [B, d]
     vecs: Array,
@@ -136,18 +136,25 @@ def beam_search(
     *,
     ef: int,
     iters: int,
+    expand: int = 1,
 ) -> BeamResult:
     """Batched bounded best-first search (reference efSearch_core,
     HNSWTraversal.swift:221-280).
 
     State per query: beam of (dist, id, expanded) sorted ascending, plus an
-    append-only visited ring of expanded ids. Each iteration expands the best
-    unexpanded beam slot; its neighbor row is scored densely; candidates
-    already in the visited ring or current beam are masked; beam = top-ef of
-    (beam ∪ candidates) by (dist, id) two-key sort.
+    append-only visited ring of expanded ids. Each iteration expands the
+    `expand` best unexpanded beam slots; their neighbor rows are scored
+    densely; candidates already in the visited ring or current beam are
+    masked; beam = top-ef of (beam ∪ candidates) by (dist, id) two-key sort.
+
+    expand > 1 trades strict best-first order for ~expand× fewer sequential
+    iterations (the device loop is latency-bound) — the standard beam-width
+    relaxation; recall parity is covered by the index-level tests.
     """
     b = q.shape[0]
     m = nbrs.shape[1]
+    e = expand
+    w = e * m  # candidates per iteration
 
     beam_d = jnp.full((b, ef), INVALID_DIST)
     beam_i = jnp.full((b, ef), INVALID_ID, dtype=jnp.int32)
@@ -155,30 +162,36 @@ def beam_search(
     ed = _dist_rows(q, entry[:, None], vecs, sqn)[:, 0]
     beam_d = beam_d.at[:, 0].set(ed)
     beam_i = beam_i.at[:, 0].set(entry)
-    visited = jnp.full((b, iters), INVALID_ID, dtype=jnp.int32)
+    visited = jnp.full((b, iters * e), INVALID_ID, dtype=jnp.int32)
+    rows_b = jnp.arange(b)
 
     def body(t, state):
         beam_d, beam_i, beam_x, visited = state
-        # pick best unexpanded slot (beam sorted ascending → first unexpanded)
+        # pick the e best unexpanded slots (beam sorted ascending → stable
+        # argsort on the expanded flag keeps beam order among unexpanded)
         unexp = (beam_x == 0) & (beam_i != INVALID_ID)
-        slot = jnp.argmax(unexp, axis=1)  # first True
-        has = jnp.any(unexp, axis=1)
-        cur = jnp.take_along_axis(beam_i, slot[:, None], axis=1)[:, 0]
+        order = jnp.argsort(~unexp, axis=1, stable=True)[:, :e]  # [B, e]
+        n_unexp = jnp.sum(unexp.astype(jnp.int32), axis=1)
+        has = jax.lax.broadcasted_iota(jnp.int32, (b, e), 1) < n_unexp[:, None]
+        cur = jnp.take_along_axis(beam_i, order, axis=1)  # [B, e]
         cur = jnp.where(has, cur, 0)
         # mark expanded + record in visited ring
-        beam_x = beam_x.at[jnp.arange(b), slot].set(
-            jnp.where(has, 1, beam_x[jnp.arange(b), slot])
+        marks = jnp.where(has, 1, jnp.take_along_axis(beam_x, order, axis=1))
+        beam_x = beam_x.at[rows_b[:, None], order].set(marks)
+        visited = jax.lax.dynamic_update_slice(
+            visited, jnp.where(has, cur, INVALID_ID), (0, t * e)
         )
-        visited = visited.at[:, t].set(jnp.where(has, cur, INVALID_ID))
 
-        rows = lookup[cur] if lookup is not None else cur
-        nb = nbrs[jnp.maximum(rows, 0)]  # [B, M]
-        valid = (nb >= 0) & (rows >= 0)[:, None] & has[:, None]
-        # mask out already-visited and already-in-beam candidates, plus
-        # duplicates within the row itself (graphs may carry repeated edges)
+        rws = lookup[cur] if lookup is not None else cur  # [B, e]
+        nb = nbrs[jnp.maximum(rws, 0)]  # [B, e, M]
+        valid = (nb >= 0) & (rws >= 0)[:, :, None] & has[:, :, None]
+        nb = nb.reshape(b, w)
+        valid = valid.reshape(b, w)
+        # mask out already-visited / in-beam candidates and duplicates
+        # within this iteration's candidate block
         seen_v = jnp.any(nb[:, :, None] == visited[:, None, :], axis=-1)
         seen_b = jnp.any(nb[:, :, None] == beam_i[:, None, :], axis=-1)
-        earlier = jnp.tril(jnp.ones((m, m), bool), k=-1)
+        earlier = jnp.tril(jnp.ones((w, w), bool), k=-1)
         dup_row = jnp.any((nb[:, :, None] == nb[:, None, :]) & earlier[None], axis=-1)
         valid = valid & ~seen_v & ~seen_b & ~dup_row
         nd = jnp.where(valid, _dist_rows(q, nb, vecs, sqn), INVALID_DIST)
