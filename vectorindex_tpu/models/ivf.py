@@ -554,6 +554,11 @@ class IVFPQIndex(IVFIndex):
             self._books,
             chunk=min(4096, max(256, n_pad)),
         )
+        if self.config.ks <= 16:
+            # pq4: half the resident code bytes (reference IVFFormat.pq4)
+            from vectorindex_tpu.ops.dtypes import pack_u4
+
+            codes = pack_u4(codes)
         row_ids = np.asarray(arrays.row_ids)
         max_slot = max(self._next_slot, 1)
         slot_rows = np.full(max_slot, -1, dtype=np.int32)
@@ -591,6 +596,7 @@ class IVFPQIndex(IVFIndex):
             probe_cap=cap,
             k=c_adc,
             metric=self.metric,
+            packed_u4=self.config.ks <= 16,
         )
         if self.config.rerank:
             dist, ids = rerank_rows(

@@ -33,13 +33,13 @@ Array = jax.Array
 
 @partial(
     jax.jit,
-    static_argnames=("nprobe", "probe_cap", "k", "metric", "query_chunk"),
+    static_argnames=("nprobe", "probe_cap", "k", "metric", "query_chunk", "packed_u4"),
 )
 def ivf_search_pq(
     q: Array,
     centroids: Array,
     arrays: IVFListArrays,  # .vecs unused here; starts/lengths/row_ids used
-    codes: Array,  # [N_pad, m] u8, same CSR layout as arrays
+    codes: Array,  # [N_pad, m] u8 (or [N_pad, m//2] packed u4), CSR layout
     books: pq_ops.PQCodebooks,
     *,
     nprobe: int,
@@ -47,6 +47,7 @@ def ivf_search_pq(
     k: int,
     metric: Metric = Metric.L2,
     query_chunk: int = 8,
+    packed_u4: bool = False,
 ) -> Tuple[Array, Array]:
     """ADC search over probed lists → (adc_dist [B,k], internal ids [B,k]).
 
@@ -55,6 +56,12 @@ def ivf_search_pq(
     """
     b = q.shape[0]
     m, ks, dsub = books.centroids.shape
+    if packed_u4:
+        # pq4 format (reference IVFFormat.pq4): codes live packed at rest;
+        # the transient unpack happens on-device per search
+        from vectorindex_tpu.ops.dtypes import unpack_u4
+
+        codes = unpack_u4(codes)
     _, probe_lists = ivf_select(q, centroids, nprobe=nprobe, metric=metric)
 
     offsets = (jnp.arange(m, dtype=jnp.int32) * ks)[None, :]  # [1, m]
