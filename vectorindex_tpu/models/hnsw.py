@@ -260,7 +260,9 @@ class HNSWIndex(VectorIndex):
             nbrs = jnp.asarray(layer.nbrs if layer.nbrs.shape[0] else
                                np.full((1, layer.max_degree), -1, np.int32))
             if l == 0:
-                lookup = None
+                # device copy of the slot→row table rides with the layer
+                # cache (a fresh jnp.asarray per search re-uploads it)
+                lookup = jnp.asarray(self._lookup0)
             else:
                 lk = np.full((self.capacity,), -1, dtype=np.int32)
                 lk[np.asarray(layer.node_ids, dtype=np.int64)] = np.arange(
@@ -376,8 +378,7 @@ class HNSWIndex(VectorIndex):
             )
 
         # level-0 candidates via batched beam
-        nbrs0, _ = self._sync_layer_device(0)
-        lookup0 = jnp.asarray(self._lookup0)
+        nbrs0, lookup0 = self._sync_layer_device(0)
         ef, iters = self._beam_params(cfg.ef_construction)
         beam = gops.beam_search(
             q, gv, sqn, nbrs0, lookup0, entry, ef=ef, iters=iters
@@ -461,8 +462,7 @@ class HNSWIndex(VectorIndex):
                     rev[v].append(src)
 
         self._invalidate_layer(0)
-        nbrs0, _ = self._sync_layer_device(0)
-        lookup0 = jnp.asarray(self._lookup0)
+        nbrs0, lookup0 = self._sync_layer_device(0)
         ef, iters = self._beam_params(cfg.ef_construction)
         new_nbrs = np.full_like(old_nbrs, -1)
         c = cfg.build_chunk
@@ -670,8 +670,7 @@ class HNSWIndex(VectorIndex):
                 qg, gv, sqn, nbrs, lookup, entry, steps=self._descent_steps(l)
             )
 
-        nbrs0, _ = self._sync_layer_device(0)
-        lookup0 = jnp.asarray(self._lookup0)
+        nbrs0, lookup0 = self._sync_layer_device(0)
         # search expands 4 slots per iteration: ~4x fewer sequential steps
         # for the same expansion budget (construction stays at 1 for strict
         # best-first candidate quality)
