@@ -257,3 +257,21 @@ def test_ivf_select_beam_approximates_exhaustive():
     bi, ei = np.asarray(bi), np.asarray(ei)
     overlap = np.mean([len(set(bi[b]) & set(ei[b])) / 8 for b in range(8)])
     assert overlap >= 0.85
+
+
+def test_list_store_timestamps():
+    """Reference IVFAppendOpts.timestamps: per-row timestamps ride the CSR
+    layout."""
+    store = ivf_ops.IVFListStore(2, 4, timestamps=True)
+    v = np.ones(4, np.float32)
+    store.append(0, 1, v, ts=100)
+    store.append(1, 2, v, ts=200)
+    store.append_batch([0, 1], [3, 4], np.stack([v, v]), ts=[300, 400])
+    arrays = store.sync_device()
+    tsarr = np.asarray(arrays.timestamps)
+    starts = np.asarray(arrays.starts)
+    assert tsarr[starts[0]] == 100 and tsarr[starts[0] + 1] == 300
+    assert tsarr[starts[1]] == 200 and tsarr[starts[1] + 1] == 400
+    store.remove(0, 1)
+    arrays = store.sync_device()
+    assert np.asarray(arrays.timestamps)[np.asarray(arrays.starts)[0]] == 300

@@ -87,6 +87,7 @@ class IVFListArrays(NamedTuple):
     sqnorms: Array  # [N_pad] f32
     starts: Array  # [kc] int32 list start offsets
     lengths: Array  # [kc] int32 live lengths
+    timestamps: Optional[Array] = None  # [N_pad] i64, when enabled
 
 
 class IVFListStore:
@@ -96,12 +97,14 @@ class IVFListStore:
     capacity is O(1); overflow triggers a repack of the flat arrays (the
     reference grows a single list with copy, IVFAppend.swift:633-712)."""
 
-    def __init__(self, n_lists: int, dim: int):
+    def __init__(self, n_lists: int, dim: int, timestamps: bool = False):
         self.n_lists = n_lists
         self.dim = dim
+        self.timestamps = timestamps  # reference IVFAppendOpts.timestamps
         self.version = 0  # bumped on every mutation (cache invalidation key)
         self._lists_ids: list[list[int]] = [[] for _ in range(n_lists)]
         self._lists_vecs: list[list[np.ndarray]] = [[] for _ in range(n_lists)]
+        self._lists_ts: list[list[int]] = [[] for _ in range(n_lists)]
         self._caps = np.zeros(n_lists, dtype=np.int64)
         self._dirty = True  # needs repack/resync
         self._packed = None  # host CSR mirror
@@ -109,10 +112,14 @@ class IVFListStore:
 
     # -- mutation --
 
-    def append(self, list_id: int, internal_id: int, vec: np.ndarray) -> None:
+    def append(
+        self, list_id: int, internal_id: int, vec: np.ndarray, ts: int = 0
+    ) -> None:
         self.version += 1
         self._lists_ids[list_id].append(internal_id)
         self._lists_vecs[list_id].append(np.asarray(vec, dtype=np.float32))
+        if self.timestamps:
+            self._lists_ts[list_id].append(int(ts))
         if len(self._lists_ids[list_id]) > self._caps[list_id]:
             self._dirty = True  # overflow → repack on next sync
         else:
@@ -128,12 +135,18 @@ class IVFListStore:
                 self._packed["lengths"][list_id] += 1
                 self._dev = None  # device copy stale
 
-    def append_batch(self, list_ids, internal_ids, vecs) -> None:
+    def append_batch(self, list_ids, internal_ids, vecs, ts=None) -> None:
         self.version += 1
         vecs = np.asarray(vecs, dtype=np.float32)
-        for l, i, v in zip(np.asarray(list_ids), np.asarray(internal_ids), vecs):
+        for n_, (l, i, v) in enumerate(
+            zip(np.asarray(list_ids), np.asarray(internal_ids), vecs)
+        ):
             self._lists_ids[int(l)].append(int(i))
             self._lists_vecs[int(l)].append(v)
+            if self.timestamps:
+                self._lists_ts[int(l)].append(
+                    0 if ts is None else int(np.asarray(ts)[n_])
+                )
         self._dirty = True
 
     def remove(self, list_id: int, internal_id: int) -> bool:
@@ -144,6 +157,8 @@ class IVFListStore:
         self.version += 1
         self._lists_ids[list_id].pop(pos)
         self._lists_vecs[list_id].pop(pos)
+        if self.timestamps and pos < len(self._lists_ts[list_id]):
+            self._lists_ts[list_id].pop(pos)
         self._dirty = True
         return True
 
@@ -151,6 +166,7 @@ class IVFListStore:
         self.version += 1
         self._lists_ids = [[] for _ in range(self.n_lists)]
         self._lists_vecs = [[] for _ in range(self.n_lists)]
+        self._lists_ts = [[] for _ in range(self.n_lists)]
         self._caps[:] = 0
         self._dirty = True
         self._dev = None
@@ -179,12 +195,20 @@ class IVFListStore:
                 vecs[starts[i] : starts[i] + n] = v
                 row_ids[starts[i] : starts[i] + n] = self._lists_ids[i]
         sqnorms = np.einsum("nd,nd->n", vecs, vecs, dtype=np.float32)
+        tsarr = None
+        if self.timestamps:
+            tsarr = np.zeros(max(total, 1), dtype=np.int64)
+            for i in range(self.n_lists):
+                n = lengths[i]
+                if n:
+                    tsarr[starts[i] : starts[i] + n] = self._lists_ts[i]
         self._packed = {
             "vecs": vecs,
             "row_ids": row_ids,
             "sqnorms": sqnorms,
             "starts": starts,
             "lengths": lengths,
+            "timestamps": tsarr,
         }
         self._dirty = False
         self._dev = None
@@ -200,6 +224,10 @@ class IVFListStore:
                 sqnorms=jnp.asarray(p["sqnorms"]),
                 starts=jnp.asarray(p["starts"]),
                 lengths=jnp.asarray(p["lengths"]),
+                timestamps=(
+                    None if p.get("timestamps") is None
+                    else jnp.asarray(p["timestamps"])
+                ),
             )
         return self._dev
 
