@@ -11,11 +11,9 @@ from __future__ import annotations
 
 import argparse
 import json
-import sys
 import time
 from dataclasses import asdict
 
-import numpy as np
 
 from vectorindex_tpu.bench.harness import BenchResult, bench_index, make_run
 from vectorindex_tpu.utils.config import Metric

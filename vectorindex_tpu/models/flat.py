@@ -24,7 +24,6 @@ TPU-native design decisions:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence
 
 import jax
@@ -55,7 +54,6 @@ from vectorindex_tpu.utils.errors import (
     IndexErrorKind,
     dimension_mismatch,
     duplicate_id,
-    not_found,
 )
 
 MIN_CAPACITY = 1024

@@ -26,7 +26,7 @@ conventions HNSWTraversal.swift:60-70).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +43,7 @@ from vectorindex_tpu.models.base import (
 from vectorindex_tpu.ops import graph as gops
 from vectorindex_tpu.ops import rng as vrng
 from vectorindex_tpu.ops.idmap import IDMap
-from vectorindex_tpu.ops.topk import INVALID_ID, topk_padded
+from vectorindex_tpu.ops.topk import INVALID_ID
 from vectorindex_tpu.persistence.json_snapshot import (
     PersistedIndex,
     PersistedRecord,

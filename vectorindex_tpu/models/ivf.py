@@ -18,7 +18,7 @@ stack (k-means‖ for large nlist instead of the reference's sequential ++).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

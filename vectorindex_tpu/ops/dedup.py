@@ -18,7 +18,6 @@ has no device analog — batched searches carry *functional* visited state:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -31,7 +31,7 @@ Quality parity with sequential HNSW is validated by recall tests
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,6 @@ TPU-native design:
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 

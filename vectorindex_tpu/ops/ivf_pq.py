@@ -17,7 +17,7 @@ vectors (kept in the same CSR layout).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

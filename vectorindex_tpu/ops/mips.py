@@ -16,9 +16,8 @@ Parity target (reference kernel #10): Operations/Transform/MIPSTransform.swift â
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -31,13 +31,12 @@ TPU-native design:
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 from vectorindex_tpu.ops import kmeans as km
-from vectorindex_tpu.ops import rng as vrng
 from vectorindex_tpu.ops.dtypes import pack_u4, unpack_u4
 
 Array = jax.Array

@@ -30,7 +30,6 @@ dimension replaces the reference's per-query task fan-out (SURVEY.md §2.4).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Optional
 
 import jax

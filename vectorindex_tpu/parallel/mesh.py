@@ -9,7 +9,7 @@ with `all_gather`. Multi-slice (DCN) would add an outer axis the same way.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

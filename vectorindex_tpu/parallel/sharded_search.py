@@ -11,7 +11,6 @@ CPU-mesh tests, SURVEY.md §4).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
