@@ -83,3 +83,54 @@ def test_sharded_with_precomputed_norms(data):
     dist = scoring.distance_block(q, x, Metric.L2)
     rd, ri = topk_padded(dist, valid[None], 5)
     np.testing.assert_array_equal(np.asarray(si), np.asarray(ri))
+
+
+# -- sharded IVF --
+
+
+def test_sharded_ivf_matches_single_device():
+    from vectorindex_tpu.ops import ivf as ivf_ops
+    from vectorindex_tpu.ops import kmeans as km
+    from vectorindex_tpu.parallel.sharded_ivf import (
+        partition_store,
+        sharded_ivf_search,
+    )
+
+    rng = np.random.default_rng(21)
+    x = rng.standard_normal((2000, 16)).astype(np.float32)
+    res = km.kmeans(jnp.asarray(x), km.KMeansConfig(k=32, iters=8, seed=3))
+    store = ivf_ops.IVFListStore(32, 16)
+    store.append_batch(np.asarray(res.assignments), np.arange(2000), x)
+    arrays = store.sync_device()
+    cap = ivf_ops.probe_cap_for(store.max_length)
+    q = jnp.asarray(rng.standard_normal((12, 16)).astype(np.float32))
+
+    ref_d, ref_i = ivf_ops.ivf_search_flat(
+        q, res.centroids, arrays, nprobe=8, probe_cap=cap, k=5
+    )
+
+    mesh = make_mesh(8)
+    sharded = partition_store(store, mesh)
+    sd, si = sharded_ivf_search(
+        mesh, q, res.centroids, sharded, nprobe=8, probe_cap=cap, k=5
+    )
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(sd), np.asarray(ref_d), rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_ivf_balances_lists():
+    from vectorindex_tpu.ops import ivf as ivf_ops
+    from vectorindex_tpu.parallel.sharded_ivf import partition_store
+
+    rng = np.random.default_rng(22)
+    store = ivf_ops.IVFListStore(16, 4)
+    # skewed list sizes
+    for l in range(16):
+        for i in range((l + 1) * 10):
+            store.append(l, l * 1000 + i, rng.standard_normal(4).astype(np.float32))
+    mesh = make_mesh(4)
+    sharded = partition_store(store, mesh)
+    lens = np.asarray(sharded.lengths)
+    per_shard = lens.sum(axis=1)
+    assert per_shard.sum() == sum((l + 1) * 10 for l in range(16))
+    assert per_shard.max() <= per_shard.min() * 2  # greedy balance
