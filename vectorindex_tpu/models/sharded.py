@@ -83,6 +83,25 @@ class ShardedFlatIndex(FlatIndex):
         super()._grow()
         self._search_jit = None
 
+    def _search_fn(self, kk: int):
+        """Cached jitted search closure per k (a fresh jit(lambda) per call
+        retraces every search)."""
+        if self._search_jit is None:
+            self._search_jit = {}
+        fn = self._search_jit.get(kk)
+        if fn is None:
+            use_inv = self.metric == Metric.COSINE
+
+            def run(qq, xx, vv, ss, ii):
+                return sharded_flat_search(
+                    self.mesh, qq, xx, vv, kk, self.metric,
+                    x_sqnorms=ss, x_invnorms=ii if use_inv else None,
+                )
+
+            fn = jax.jit(run)
+            self._search_jit[kk] = fn
+        return fn
+
     def batch_search(
         self, queries, k: int, filter: Optional[FilterFn] = None
     ) -> list[list[SearchResult]]:
@@ -97,21 +116,7 @@ class ShardedFlatIndex(FlatIndex):
                 jnp.asarray(self._filter_valid(filter)), corpus_sharding(self.mesh)
             )
         kk = min(k, self.capacity)
-        use_inv = self.metric == Metric.COSINE
-
-        dist, ids = jax.jit(
-            lambda qq, xx, vv, ss, ii: sharded_flat_search(
-                self.mesh,
-                qq,
-                xx,
-                vv,
-                kk,
-                self.metric,
-                x_sqnorms=ss,
-                x_invnorms=ii if use_inv else None,
-            ),
-            static_argnums=(),
-        )(jnp.asarray(q), vecs, valid, sqn, inv)
+        dist, ids = self._search_fn(kk)(jnp.asarray(q), vecs, valid, sqn, inv)
         dist = np.asarray(dist)
         ids = np.asarray(ids)
         scores = self._public_score(dist)
