@@ -144,3 +144,40 @@ def test_bench_harness_flat():
     assert run.schema_version == 1
     assert run.results[0]["index"] == "flat"
     assert "devices" in run.host
+
+
+# -- dataset formats --
+
+
+def test_fvecs_roundtrip(tmp_path):
+    from vectorindex_tpu.bench.datagen import read_fvecs, write_fvecs
+
+    x = np.random.default_rng(0).standard_normal((10, 7)).astype(np.float32)
+    p = str(tmp_path / "x.fvecs")
+    write_fvecs(p, x)
+    got = read_fvecs(p)
+    np.testing.assert_array_equal(got, x)
+    got2 = read_fvecs(p, max_rows=4)
+    np.testing.assert_array_equal(got2, x[:4])
+
+
+def test_bvecs_and_ivecs(tmp_path):
+    from vectorindex_tpu.bench.datagen import read_bvecs, read_ivecs
+
+    rng = np.random.default_rng(1)
+    # hand-write a bvecs file: dim header int32 + uint8 payload
+    b = rng.integers(0, 256, (5, 12)).astype(np.uint8)
+    pb = str(tmp_path / "x.bvecs")
+    with open(pb, "wb") as f:
+        for row in b:
+            f.write(np.int32(12).tobytes())
+            f.write(row.tobytes())
+    np.testing.assert_array_equal(read_bvecs(pb), b.astype(np.float32))
+    # ivecs ground truth
+    ids = rng.integers(0, 1000, (6, 10)).astype(np.int32)
+    pi = str(tmp_path / "gt.ivecs")
+    with open(pi, "wb") as f:
+        for row in ids:
+            f.write(np.int32(10).tobytes())
+            f.write(row.tobytes())
+    np.testing.assert_array_equal(read_ivecs(pi), ids)

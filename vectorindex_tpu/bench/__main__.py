@@ -129,6 +129,82 @@ def microbench(args) -> dict:
     }
 
 
+def sweep(args) -> list:
+    """Pareto sweep (recall@k vs QPS) over a search-time knob, one build."""
+    import time as _time
+
+    import numpy as np
+
+    from vectorindex_tpu.bench import datagen
+    from vectorindex_tpu.bench.harness import brute_force_topk, recall_at_k
+
+    metric = Metric(args.metric)
+    knob, values = args.sweep.split("=")
+    values = [int(v) for v in values.split(",")]
+    x = datagen.generate_clustered(args.n, args.d, seed=args.seed)
+    q = datagen.queries_from(x, args.queries, noise=0.01, seed=args.seed + 1)
+    ids = [f"v{i}" for i in range(args.n)]
+    truth = brute_force_topk(x, q, args.k, metric)
+
+    name = args.index.split(",")[0]
+    if name in ("ivf", "ivfpq") and knob == "nprobe":
+        if name == "ivf":
+            from vectorindex_tpu.models import IVFConfig, IVFIndex
+
+            idx = IVFIndex(args.d, metric, IVFConfig(nlist=args.ivf_nlist))
+            mk_cfg = lambda v: IVFConfig(nlist=args.ivf_nlist, nprobe=v)
+        else:
+            from vectorindex_tpu.models import IVFPQConfig, IVFPQIndex
+
+            idx = IVFPQIndex(
+                args.d, metric,
+                IVFPQConfig(nlist=args.ivf_nlist, m=args.pq_m, ks=args.pq_ks),
+            )
+            mk_cfg = lambda v: IVFPQConfig(
+                nlist=args.ivf_nlist, nprobe=v, m=args.pq_m, ks=args.pq_ks
+            )
+        idx.insert_batch(ids, x)
+        idx.optimize()
+
+        def set_knob(v):
+            idx.config = mk_cfg(v)
+
+    elif name == "hnsw" and knob == "efs":
+        from vectorindex_tpu.models import HNSWConfig, HNSWIndex
+
+        idx = HNSWIndex(
+            args.d, metric, HNSWConfig(m=args.hnsw_m, ef_construction=args.hnsw_efc)
+        )
+        idx.insert_batch(ids, x)
+        idx._ensure_built()
+
+        def set_knob(v):
+            idx.config = HNSWConfig(
+                m=args.hnsw_m, ef_construction=args.hnsw_efc, ef_search=v
+            )
+
+    else:
+        raise SystemExit(f"unsupported sweep {args.sweep!r} for index {name!r}")
+
+    points = []
+    for v in values:
+        set_knob(v)
+        res = idx.batch_search(q, args.k)  # warm/compile
+        t0 = _time.perf_counter()
+        res = idx.batch_search(q, args.k)
+        dt = _time.perf_counter() - t0
+        points.append(
+            {
+                "index": name,
+                knob: v,
+                "recall_at_k": round(recall_at_k(res, truth, lambda i: f"v{i}"), 4),
+                "qps": round(args.queries / dt, 1),
+                "ms_per_query": round(dt / args.queries * 1e3, 4),
+            }
+        )
+    return points
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="vectorindex_tpu.bench")
     p.add_argument("--index", default="flat", help="comma list or 'all'")
@@ -151,10 +227,18 @@ def main(argv=None):
     p.add_argument("--vb", action="store_true", help="VectorBench run envelope")
     p.add_argument("--progress", action="store_true", help="JSON progress events to stderr")
     p.add_argument("--microbench", action="store_true", help="kernel-level bench")
+    p.add_argument(
+        "--sweep",
+        default=None,
+        help="recall/QPS tradeoff sweep: 'nprobe=1,8,32' (ivf/ivfpq) or "
+        "'efs=16,64,128' (hnsw); builds once, varies the knob",
+    )
     args = p.parse_args(argv)
 
     if args.microbench:
         payload = microbench(args)
+    elif args.sweep:
+        payload = sweep(args)
     else:
         names = ALL_INDICES if args.index == "all" else tuple(args.index.split(","))
         results = [_suite(nm.strip(), args) for nm in names]
