@@ -29,3 +29,17 @@ def test_adc_pallas_single_tile():
     assert got.shape == (b, n)
     ref = np.asarray(pq_ops.adc_scan(codes, lut, strategy="gather", chunk=128))
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_adc_u4_pallas_matches_unpacked_reference():
+    from vectorindex_tpu.kernels.adc import adc_scan_u4_pallas
+    from vectorindex_tpu.ops.dtypes import pack_u4
+
+    rng = np.random.default_rng(2)
+    n, m, ks, b = 1024, 8, 16, 4
+    codes = jnp.asarray(rng.integers(0, ks, (n, m)).astype(np.uint8))
+    packed = pack_u4(codes)
+    lut = jnp.asarray(rng.standard_normal((b, m, ks)).astype(np.float32))
+    got = np.asarray(adc_scan_u4_pallas(packed, lut, tile=256, interpret=True))
+    ref = np.asarray(pq_ops.adc_scan(codes, lut, strategy="gather", chunk=256))
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)

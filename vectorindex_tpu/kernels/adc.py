@@ -97,3 +97,80 @@ def adc_scan_pallas(
         out_specs=pl.BlockSpec((b, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(codes, lut_t)[:, :n]
+
+
+def _adc_u4_kernel(packed_ref, lut_t_ref, out_ref, *, m: int, ks: int, mxu_dtype):
+    """u4 tile: packed codes [T, m//2] u8 unpack in VMEM (8 B/row of HBM
+    traffic for m=16 — half the u8 path), then the same one-hot MXU dot.
+
+    Nibbles are CONCATENATED (all lows | all highs) rather than interleaved
+    — Mosaic can't shape-cast the interleave, and the ADC sum is
+    permutation-invariant over subspaces, so the caller permutes the LUT's
+    subspace axis to match instead."""
+    packed = packed_ref[:].astype(jnp.int32)  # [T, m//2]
+    t = packed.shape[0]
+    lo = packed & 0xF
+    hi = packed >> 4
+    codes = jnp.concatenate([lo, hi], axis=1)  # [T, m] in lo|hi order
+    # build the one-hot directly in FLAT [T, m·ks] form: Mosaic cannot
+    # shape-cast [T, m, ks]→[T, m·ks] when ks < the 128-lane width (the u8
+    # kernel's ks=256 merge is lane-aligned). pltpu.repeat tiles the whole
+    # row (codes_rep[:, f] = codes[:, f % m]), so column f encodes
+    # (subspace f % m, code f // m) — the caller flattens the LUT
+    # code-major to match.
+    codes_rep = pltpu.repeat(codes, ks, axis=1)  # [T, m·ks]
+    val = jax.lax.broadcasted_iota(jnp.int32, (t, m * ks), 1) // m
+    onehot = (codes_rep == val).astype(mxu_dtype)
+    out_ref[:] = jax.lax.dot_general(
+        lut_t_ref[:],
+        onehot,
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@partial(jax.jit, static_argnames=("tile", "interpret"))
+def adc_scan_u4_pallas(
+    packed_codes: Array,  # [N, m//2] u8 (pack_u4 layout: even idx → low nibble)
+    lut: Array,  # [B, m, ks] f32, ks ≤ 16
+    *,
+    tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+) -> Array:
+    """ADC over packed u4 codes → [B, N] f32 (reference adc_scan_u4,
+    ADCScan.swift:99 — here the nibble unpack happens in VMEM so HBM only
+    ever sees the packed bytes)."""
+    n, mh = packed_codes.shape
+    m = mh * 2
+    b, m2, ks = lut.shape
+    assert m2 == m and ks <= 16, (m2, m, ks)
+    mxu_dtype = jnp.float32 if interpret else jnp.bfloat16
+    tile = auto_tile(m, ks, tile)
+    pad = (-n) % tile
+    if pad:
+        packed_codes = jnp.concatenate(
+            [packed_codes, jnp.zeros((pad, mh), dtype=packed_codes.dtype)], axis=0
+        )
+    # kernel emits codes in lo|hi (even-subspaces | odd-subspaces) order and
+    # its flat one-hot is code-major (column f ↔ subspace f % m, code
+    # f // m) → permute the subspace axis and flatten code-major to match
+    # (ADC sums over subspaces, so consistent reordering is exact)
+    perm = jnp.concatenate(
+        [jnp.arange(0, m, 2, dtype=jnp.int32), jnp.arange(1, m, 2, dtype=jnp.int32)]
+    )
+    lut_t = (
+        lut[:, perm, :].transpose(0, 2, 1).reshape(b, ks * m).T.astype(mxu_dtype)
+    )
+
+    grid = ((n + pad) // tile,)
+    return pl.pallas_call(
+        partial(_adc_u4_kernel, m=m, ks=ks, mxu_dtype=mxu_dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n + pad), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, mh), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ks * m, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(packed_codes, lut_t)[:, :n]

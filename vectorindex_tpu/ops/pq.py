@@ -316,8 +316,13 @@ def adc_scan(
 
 
 def adc_scan_u4(packed_codes: Array, lut: Array, **kw) -> Array:
-    """u4 variant: unpack nibbles then scan (reference adc_scan_u4,
-    ADCScan.swift:99). lut must have ks ≤ 16."""
+    """u4 variant (reference adc_scan_u4, ADCScan.swift:99). lut must have
+    ks ≤ 16. On TPU the Pallas kernel unpacks nibbles in VMEM so HBM only
+    sees the packed bytes; elsewhere unpack-then-scan."""
+    if kw.get("strategy", "auto") == "auto" and jax.default_backend() != "cpu":
+        from vectorindex_tpu.kernels.adc import adc_scan_u4_pallas
+
+        return adc_scan_u4_pallas(packed_codes, lut)
     return adc_scan(unpack_u4(packed_codes), lut, **kw)
 
 
