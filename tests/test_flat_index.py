@@ -197,3 +197,33 @@ def test_range_search_api():
     idx2, x2 = _mk(n=60, d=8, meta=True)
     res = idx2.range_search(x2[0], radius=100.0, filter=lambda m: m and m["i"] < 5)
     assert {rr.metadata["i"] for rr in res} <= set(range(5))
+
+
+def test_flat_bf16_storage_recall():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((500, 32)).astype(np.float32)
+    idx = FlatIndex(32, storage_dtype=jnp.bfloat16)
+    idx.insert_batch(list(range(500)), x)
+    res = idx.batch_search(x[:20], 5)
+    truth = np.argsort(((x[:20, None] - x[None]) ** 2).sum(-1), 1)[:, :5]
+    hits = sum(
+        len({r.id for r in row} & set(truth[b].tolist()))
+        for b, row in enumerate(res)
+    )
+    assert hits / 100 >= 0.9
+
+
+def test_journal_filter_missing_keys_policy():
+    idx, x = _mk(n=10, d=4)
+    # no metadata at all; allow_missing off → date filter excludes everything
+    f_strict = JournalFilter().date_between("2026-01-01", "2026-12-31").compile()
+    assert idx.search(x[0], 3, filter=f_strict) == []
+    f_loose = (
+        JournalFilter()
+        .date_between("2026-01-01", "2026-12-31")
+        .allowing_missing_keys()
+        .compile()
+    )
+    assert len(idx.search(x[0], 3, filter=f_loose)) == 3

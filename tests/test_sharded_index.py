@@ -63,3 +63,27 @@ def test_sharded_metrics(metric):
     else:
         ref = np.argsort(-(x @ q) / (np.linalg.norm(x, axis=1) * np.linalg.norm(q)))[:5]
     assert [r.id for r in res] == ref.tolist()
+
+
+def test_sharded_persistence_roundtrip(tmp_path):
+    x = _data(200, 8, seed=9)
+    idx = ShardedFlatIndex(8, n_devices=4)
+    idx.insert_batch(list(range(200)), x)
+    p = str(tmp_path / "s.json")
+    idx.save(p)
+    idx2 = ShardedFlatIndex.load(p)
+    assert isinstance(idx2, ShardedFlatIndex)
+    r1 = [r.id for r in idx.search(x[7], 5)]
+    r2 = [r.id for r in idx2.search(x[7], 5)]
+    assert r1 == r2
+
+
+def test_sharded_bf16_storage():
+    import jax.numpy as jnp
+
+    x = _data(400, 16, seed=10)
+    idx = ShardedFlatIndex(16, n_devices=8, storage_dtype=jnp.bfloat16)
+    idx.insert_batch(list(range(400)), x)
+    res = idx.batch_search(x[:10], 1)
+    top1 = np.mean([row[0].id == i for i, row in enumerate(res)])
+    assert top1 >= 0.9  # bf16 quantization keeps self-recall

@@ -87,7 +87,11 @@ class JournalFilter:
 
         def predicate(meta: Metadata) -> bool:
             if meta is None:
-                return allow_missing and not include and date_lo is None
+                # nil metadata == every key missing: passes iff missing keys
+                # are allowed, or no key-dependent clause exists
+                if allow_missing:
+                    return all(p(None) for p in extra) if extra else True
+                return not include and date_lo is None and date_hi is None
             if date_lo is not None or date_hi is not None:
                 d = _parse_date(meta.get(date_key))
                 if d is None:
