@@ -275,3 +275,20 @@ def test_list_store_timestamps():
     store.remove(0, 1)
     arrays = store.sync_device()
     assert np.asarray(arrays.timestamps)[np.asarray(arrays.starts)[0]] == 300
+
+
+def test_ivf_ingest_flat_precomputed_assignments():
+    """Reference ingestFlat (IVFIndex.swift:180): bulk ingest with external
+    assignments, no quantizer pass."""
+    x = _data(120, 8, seed=33)
+    idx = IVFIndex(8, config=IVFConfig(nlist=4, nprobe=4))
+    idx.insert_batch(list(range(60)), x[:60])
+    idx.optimize()
+    assigns = np.asarray(
+        idx._assign_lists(x[60:])
+    )  # precompute externally, then ingest without re-assigning
+    idx.ingest_flat(list(range(60, 120)), x[60:], assigns)
+    assert idx.count == 120
+    assert idx.search(x[90], k=1)[0].id == 90
+    with pytest.raises(Exception):
+        idx.ingest_flat([999], x[:1], [99])  # out-of-range list

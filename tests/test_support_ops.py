@@ -254,3 +254,22 @@ def test_pq_streaming_train():
     err = ((recon - x) ** 2).sum(-1).mean()
     base = (x**2).sum(-1).mean()
     assert err < base  # captures signal
+
+
+def test_range_scan_reservoir_mode():
+    from vectorindex_tpu.ops.range_query import range_scan_reservoir
+    from vectorindex_tpu.ops.reservoir import reservoir_extract_topk
+
+    q, x = _data(n=500, d=8, b=2, seed=11)
+    r = 4.0
+    res = range_scan_reservoir(
+        jnp.asarray(q), jnp.asarray(x), r, capacity=32, chunk=128
+    )
+    d, ids = reservoir_extract_topk(res, 32)
+    d, ids = np.asarray(d), np.asarray(ids)
+    ref_d = ((q[:, None] - x[None]) ** 2).sum(-1)
+    for b in range(2):
+        in_radius = np.nonzero(ref_d[b] <= r * r)[0]
+        want = set(in_radius[np.argsort(ref_d[b][in_radius])][:32].tolist())
+        got = set(ids[b][ids[b] != INVALID_ID].tolist())
+        assert got == want

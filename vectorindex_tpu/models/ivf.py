@@ -220,6 +220,35 @@ class IVFIndex(VectorIndex):
     def contains(self, id: VectorID) -> bool:
         return id in self._idmap
 
+    def ingest_flat(self, ids, vectors, assignments) -> None:
+        """Bulk-ingest vectors with *precomputed* list assignments,
+        bypassing the quantizer (reference ingestFlat, IVFIndex.swift:180 —
+        the migration path from an external system). Requires trained
+        centroids to already exist (set them via optimize() or directly)."""
+        vectors = np.asarray(vectors, dtype=np.float32)
+        assignments = np.asarray(assignments, dtype=np.int64)
+        if vectors.ndim != 2 or vectors.shape[1] != self.dimension:
+            raise dimension_mismatch(self.dimension, vectors.shape[-1], "ingest_flat")
+        if assignments.min(initial=0) < 0 or assignments.max(initial=0) >= self.config.nlist:
+            raise (
+                ErrorBuilder(IndexErrorKind.OUT_OF_RANGE)
+                .message("assignment outside [0, nlist)")
+                .build()
+            )
+        for id_ in ids:
+            if id_ in self._idmap:
+                raise duplicate_id(id_, "ingest_flat")
+        slots = []
+        for i, id_ in enumerate(ids):
+            slot = self._alloc()
+            self._vectors[slot] = vectors[i]
+            self._metadata[slot] = None
+            self._idmap.append(id_, slot)
+            slots.append(slot)
+        self._store.append_batch(assignments, slots, vectors)
+        for s, l in zip(slots, assignments):
+            self._slot_list[s] = int(l)
+
     # ------------------------------------------------------------------
     # training (reference optimize(), IVFIndex.swift:265)
     # ------------------------------------------------------------------

@@ -150,3 +150,34 @@ def range_scan_adc_u4(packed_codes: Array, lut: Array, radius: float, **kw):
     from vectorindex_tpu.ops.dtypes import unpack_u4
 
     return range_scan_adc(unpack_u4(packed_codes), lut, radius, **kw)
+
+
+def range_scan_reservoir(
+    q: Array,
+    x: Array,
+    radius: float,
+    capacity: int,
+    *,
+    metric: Metric = Metric.L2,
+    valid: Optional[Array] = None,
+    chunk: int = 65536,
+):
+    """Reservoir output mode (reference RangeScanConfig output .reservoir,
+    RangeQuery.swift:65): stream corpus chunks through a bounded top-C
+    reservoir keeping the nearest in-radius matches — the memory-bounded
+    variant for huge expected match counts. Returns a Reservoir."""
+    from vectorindex_tpu.ops.reservoir import reservoir_init, reservoir_push_masked
+    from vectorindex_tpu.ops.scoring import distance_block
+
+    b, n = q.shape[0], x.shape[0]
+    res = reservoir_init(b, capacity)
+    r = jnp.float32(radius)
+    for start in range(0, n, chunk):
+        xs = x[start : start + chunk]
+        dist = distance_block(q, xs, metric)
+        mask = _range_mask_from_dist(dist, r, metric)
+        if valid is not None:
+            mask = mask & valid[start : start + chunk][None, :]
+        ids = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) + start
+        res = reservoir_push_masked(res, dist, ids, mask)
+    return res
