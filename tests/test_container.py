@@ -165,3 +165,28 @@ def test_missing_section_raises(tmp_path):
     with Container.open(p) as c:
         with pytest.raises(IndexError):
             c.read_array(SectionType.CENTROIDS)
+
+
+def test_compact_reclaims_dead_space(tmp_path):
+    p = str(tmp_path / "big.vx")
+    q = str(tmp_path / "small.vx")
+    with Container.create(p) as c:
+        idx = c.add_array(
+            SectionType.IDS, np.arange(8, dtype=np.int32), capacity_bytes=64
+        )
+        for i in range(6):  # repeated growth leaves relocated dead regions
+            c.append(idx, np.arange(8 * (i + 1), 8 * (i + 2), dtype=np.int32))
+        c.add_blob(SectionType.META, b"meta")
+        c.bump_generation()
+        c.sync()
+    with Container.open(p, writable=True) as c:
+        gen = c.generation
+        c.compact_to(q).close()
+    assert os.path.getsize(q) < os.path.getsize(p)
+    with Container.open(q) as c2:
+        np.testing.assert_array_equal(
+            c2.read_array(SectionType.IDS), np.arange(56, dtype=np.int32)
+        )
+        assert c2.read_blob(SectionType.META) == b"meta"
+        assert c2.generation == gen + 1
+        c2.verify_all()

@@ -315,3 +315,37 @@ class Container:
 
     def wal_reset(self) -> None:
         self._lib.vc_wal_reset(self._h)
+
+    # -- compaction --
+
+    def compact_to(self, path: str) -> "Container":
+        """Rewrite live sections into a fresh container (grow-with-copy
+        relocations leave dead space behind; compaction reclaims it — the
+        binary-tier analog of index compact()). Preserves section order,
+        types, dtypes, shapes, and the generation counter (+1); the WAL
+        starts empty. Returns the new (closed-over) container handle —
+        callers should close() this one and reopen the new path."""
+        w_idx = self.find(SectionType.WAL)
+        wal_cap = 1 << 20
+        if w_idx >= 0:
+            _, _, cap, _, _, _, _ = self._info(w_idx)
+            wal_cap = int(cap.value)
+        out = Container.create(path, wal_capacity=wal_cap)
+        for i in range(self.section_count):
+            ptr, nbytes, _, dtype, nrows, stride, typ = self._info(i)
+            if typ.value == int(SectionType.WAL):
+                continue
+            buf = (ctypes.c_char * nbytes.value).from_address(ptr.value)
+            arr = np.frombuffer(buf, dtype=np.uint8)
+            idx = out._lib.vc_add_section(
+                out._h, typ.value, dtype.value,
+                arr.ctypes.data_as(ctypes.c_void_p), arr.nbytes,
+                0, nrows.value, stride.value,
+            )
+            if idx < 0:
+                out.close()
+                _raise(-1, "compact_to: add_section failed")
+        for _ in range(self.generation):
+            out.bump_generation()
+        out.sync()
+        return out
