@@ -227,3 +227,20 @@ def test_journal_filter_missing_keys_policy():
         .compile()
     )
     assert len(idx.search(x[0], 3, filter=f_loose)) == 3
+
+
+def test_load_index_dispatch(tmp_path):
+    from vectorindex_tpu.models import load_index
+
+    idx, x = _mk(n=20, d=4)
+    p = str(tmp_path / "any.json")
+    idx.save(p)
+    idx2 = load_index(p)
+    assert type(idx2).__name__ == "FlatIndex"
+    assert idx2.search(x[3], 1)[0].id == "v3"
+    import json
+
+    bad = str(tmp_path / "bad.json")
+    json.dump({"type": "nope"}, open(bad, "w"))
+    with pytest.raises(IndexError):
+        load_index(bad)

@@ -16,3 +16,29 @@ from vectorindex_tpu.models.ivf import (  # noqa: F401
 )
 from vectorindex_tpu.models.sharded import ShardedFlatIndex  # noqa: F401
 from vectorindex_tpu.models import accel  # noqa: F401
+
+
+def load_index(path: str):
+    """Open any JSON snapshot, dispatching on its `type` field (flat / hnsw /
+    ivf / ivfpq / sharded_flat). Binary containers load via
+    `IVFIndex.load_durable`."""
+    import json
+
+    with open(path) as f:
+        t = json.load(f).get("type")
+    cls = {
+        FlatIndex.TYPE: FlatIndex,
+        ShardedFlatIndex.TYPE: ShardedFlatIndex,
+        HNSWIndex.TYPE: HNSWIndex,
+        IVFIndex.TYPE: IVFIndex,
+        IVFPQIndex.TYPE: IVFPQIndex,
+    }.get(t)
+    if cls is None:
+        from vectorindex_tpu.utils.errors import ErrorBuilder, IndexErrorKind
+
+        raise (
+            ErrorBuilder(IndexErrorKind.INVALID_CONFIGURATION)
+            .message(f"unknown snapshot type {t!r}")
+            .build()
+        )
+    return cls.load(path)
