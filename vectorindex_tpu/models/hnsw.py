@@ -129,6 +129,7 @@ class HNSWIndex(VectorIndex):
         self._level_counter = 0
         self._dev = None  # (vecs, sqn) device mirror
         self._dev_layers = None  # list of (nbrs_dev, lookup_dev)
+        self._dirty_rows0: set[int] = set()  # level-0 rows to patch on device
 
     # ------------------------------------------------------------------
     # storage
@@ -252,6 +253,29 @@ class HNSWIndex(VectorIndex):
             self._dev_layers = [None] * len(self._layers)
         while len(self._dev_layers) < len(self._layers):
             self._dev_layers.append(None)
+        if l == 0 and self._dev_layers[0] is not None and self._dirty_rows0:
+            # incremental patch: upload only the touched rows (a full
+            # [cap_rows, M0] re-upload per construction chunk costs MBs of
+            # host->device traffic; patches are ~chunk·(m+1) rows)
+            nbrs_dev, lookup_dev = self._dev_layers[0]
+            layer = self._layers[0]
+            rows = np.fromiter(
+                (r for r in self._dirty_rows0 if r < nbrs_dev.shape[0]),
+                dtype=np.int32,
+            )
+            full = [r for r in self._dirty_rows0 if r >= nbrs_dev.shape[0]]
+            if full:
+                self._dev_layers[0] = None  # backing grew: full resync
+            else:
+                if rows.size:
+                    nbrs_dev = nbrs_dev.at[jnp.asarray(rows)].set(
+                        jnp.asarray(layer.nbrs[rows])
+                    )
+                lookup_dev = jnp.asarray(self._lookup0)
+                self._dev_layers[0] = (nbrs_dev, lookup_dev)
+                self._dirty_rows0.clear()
+                return self._dev_layers[0]
+            self._dirty_rows0.clear()
         if self._dev_layers[l] is None:
             layer = self._layers[l]
             # full pow2-capacity backing array → stable shapes across chunks
@@ -412,12 +436,13 @@ class HNSWIndex(VectorIndex):
             row = layer0.add_node(slot)
             self._lookup0[slot] = row
 
-        # connect at level 0 (host authoritative)
+        # connect at level 0 (host authoritative; device gets row patches)
         for j, slot in enumerate(slots):
             row = self._lookup0[slot]
             sel_rows = [int(s) for s in selected[j] if s != INVALID_ID]
             nb = layer0.nbrs
             nb[row, : len(sel_rows)] = sel_rows
+            self._dirty_rows0.add(int(row))
             for s in sel_rows:
                 srow = self._lookup0[s]
                 lst = nb[srow]
@@ -428,7 +453,7 @@ class HNSWIndex(VectorIndex):
                     # overflow: prune by diversity (host mini-version)
                     cand = np.concatenate([lst, [slot]])
                     nb[srow] = self._prune_host(s, cand)[: layer0.max_degree]
-        self._invalidate_layer(0)
+                self._dirty_rows0.add(int(srow))
 
         # upper-level insertion (few nodes; host-side with numpy distances)
         for j, slot in enumerate(slots):
