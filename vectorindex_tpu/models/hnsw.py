@@ -268,6 +268,13 @@ class HNSWIndex(VectorIndex):
                 self._dev_layers[0] = None  # backing grew: full resync
             else:
                 if rows.size:
+                    # pow2-pad the patch (duplicate rows are idempotent) so
+                    # the scatter compiles O(log) times, not per chunk
+                    target = 1 << (int(rows.size) - 1).bit_length()
+                    if target > rows.size:
+                        rows = np.concatenate(
+                            [rows, np.full(target - rows.size, rows[0], np.int32)]
+                        )
                     nbrs_dev = nbrs_dev.at[jnp.asarray(rows)].set(
                         jnp.asarray(layer.nbrs[rows])
                     )
