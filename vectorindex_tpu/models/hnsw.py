@@ -285,6 +285,8 @@ class HNSWIndex(VectorIndex):
             self._dirty_rows0.clear()
         if self._dev_layers[l] is None:
             layer = self._layers[l]
+            if l == 0:
+                self._dirty_rows0.clear()  # full sync supersedes patches
             # full pow2-capacity backing array → stable shapes across chunks
             # (slicing to layer.count recompiled every chunk: minutes per
             # program on remote-compile platforms)
