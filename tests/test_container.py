@@ -190,3 +190,126 @@ def test_compact_reclaims_dead_space(tmp_path):
         assert c2.read_blob(SectionType.META) == b"meta"
         assert c2.generation == gen + 1
         c2.verify_all()
+
+
+# ---------------------------------------------------------------------------
+# crash-recovery matrix (advisor round-1 findings): read-only replay must not
+# write through the mapping; replay must not trust the (possibly stale) TOC
+# WAL length; relocated sections must stay reachable across a lost TOC sync.
+# ---------------------------------------------------------------------------
+
+_SEC_DESC_SIZE = 64
+_HDR_SIZE = 256
+_OFF_OFFSET = 8    # VCSection.offset
+_OFF_NBYTES = 16   # VCSection.nbytes
+
+
+def _patch_descriptor(path, sec_idx, raw_desc=None, nbytes=None, offset=None):
+    """Rewrite a section's TOC descriptor in the file, simulating a crash
+    where the TOC page never hit disk (the WAL did)."""
+    import struct
+
+    raw = bytearray(open(path, "rb").read())
+    base = _HDR_SIZE + sec_idx * _SEC_DESC_SIZE
+    if raw_desc is not None:
+        raw[base : base + _SEC_DESC_SIZE] = raw_desc
+    if nbytes is not None:
+        struct.pack_into("<Q", raw, base + _OFF_NBYTES, nbytes)
+    if offset is not None:
+        struct.pack_into("<Q", raw, base + _OFF_OFFSET, offset)
+    open(path, "wb").write(bytes(raw))
+
+
+def test_readonly_replay_rolls_forward_without_writing(tmp_path):
+    """A committed-but-unpublished append must be visible after read-only
+    open+replay, and the replay must not modify the file (round-1 advisor:
+    replay wrote through a PROT_READ mapping and SIGSEGVed)."""
+    p = str(tmp_path / "ro.vx")
+    with Container.create(p) as c:
+        idx = c.add_array(
+            SectionType.VECS, np.zeros((4, 8), np.float32), capacity_bytes=1024
+        )
+        c.append(idx, np.ones((4, 8), np.float32))
+    # rewind the published length to the pre-append value
+    _patch_descriptor(p, idx, nbytes=4 * 8 * 4)
+    before = open(p, "rb").read()
+    with Container.open(p, writable=False, replay=True) as c:
+        flat = c.read_array(SectionType.VECS)
+        assert flat.size == 64  # rolled forward: 4 zero rows + 4 one rows
+        np.testing.assert_array_equal(flat.reshape(-1)[32:], np.ones(32, np.float32))
+    assert open(p, "rb").read() == before  # read-only open left no trace
+
+
+def test_replay_does_not_trust_stale_wal_length(tmp_path):
+    """Replay must scan WAL records by CRC: the TOC's WAL length is only as
+    durable as the TOC page itself. Zeroing it must not hide committed
+    appends."""
+    p = str(tmp_path / "wl.vx")
+    with Container.create(p) as c:
+        idx = c.add_array(
+            SectionType.IDS, np.arange(8, dtype=np.int32), capacity_bytes=256
+        )
+        c.append(idx, np.arange(8, 16, dtype=np.int32))
+    # stale TOC: WAL section (index 0) says empty, data section says 8 ints
+    _patch_descriptor(p, 0, nbytes=0)
+    _patch_descriptor(p, idx, nbytes=8 * 4)
+    with Container.open(p, writable=False, replay=True) as c:
+        np.testing.assert_array_equal(
+            c.read_array(SectionType.IDS), np.arange(16, dtype=np.int32)
+        )
+
+
+def test_replay_follows_relocation_across_lost_toc_sync(tmp_path):
+    """Grow-with-copy relocation + crash before the TOC offset syncs: the
+    WAL RELOC record must redirect replay to the section's new home."""
+    p = str(tmp_path / "rl.vx")
+    with Container.create(p) as c:
+        idx = c.add_array(
+            SectionType.IDS, np.arange(8, dtype=np.int32), capacity_bytes=64
+        )
+        c.append(idx, np.arange(8, 16, dtype=np.int32))  # fills capacity
+        c.sync()
+    saved = open(p, "rb").read()[
+        _HDR_SIZE + idx * _SEC_DESC_SIZE : _HDR_SIZE + (idx + 1) * _SEC_DESC_SIZE
+    ]
+    with Container.open(p, writable=True) as c:
+        c.append(idx, np.arange(16, 64, dtype=np.int32))  # forces relocation
+    # crash simulation: the TOC descriptor reverts to its pre-grow state
+    _patch_descriptor(p, idx, raw_desc=saved)
+    with Container.open(p, writable=False, replay=True) as c:
+        np.testing.assert_array_equal(
+            c.read_array(SectionType.IDS), np.arange(64, dtype=np.int32)
+        )
+    # and a writable open must repair the file itself
+    with Container.open(p, writable=True, replay=True) as c:
+        pass
+    with Container.open(p, writable=False, replay=False) as c:
+        np.testing.assert_array_equal(
+            c.read_array(SectionType.IDS), np.arange(64, dtype=np.int32)
+        )
+
+
+def test_wal_reset_cannot_resurrect_stale_records(tmp_path):
+    """After wal_reset (checkpoint) the scan-based replay must find nothing,
+    even though pre-reset record bytes would otherwise still CRC-validate."""
+    p = str(tmp_path / "rs.vx")
+    with Container.create(p) as c:
+        idx = c.add_array(
+            SectionType.IDS, np.arange(8, dtype=np.int32), capacity_bytes=256
+        )
+        c.append(idx, np.arange(8, 16, dtype=np.int32))
+        c.wal_reset()
+    with Container.open(p, writable=False, replay=True) as c:
+        assert c.wal_replay() == 0
+
+
+def test_readonly_mutations_rejected(tmp_path):
+    p = str(tmp_path / "rd.vx")
+    with Container.create(p) as c:
+        c.add_array(SectionType.IDS, np.arange(8, dtype=np.int32))
+    with Container.open(p, writable=False) as c:
+        with pytest.raises(Exception):
+            c.append(SectionType.IDS, np.arange(4, dtype=np.int32))
+        gen = c.generation
+        c.bump_generation()  # silently ignored on read-only handles
+        assert c.generation == gen

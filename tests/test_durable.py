@@ -109,3 +109,49 @@ def test_ivfpq_container_restores_codebooks(tmp_path):
     r1 = [r.id for r in idx.search(x[7], k=5)]
     r2 = [r.id for r in idx2.search(x[7], k=5)]
     assert r1 == r2
+
+
+def test_journal_replay_prunes_reused_free_slots(tmp_path):
+    """A post-checkpoint insert that reuses a checkpointed-free slot must not
+    leave that slot in the free list after recovery (round-1 advisor: the
+    next insert silently overwrote the vector, mapping two ids to one
+    slot)."""
+    d = 8
+    idx = IVFIndex(d, config=IVFConfig(nlist=2, nprobe=2))
+    va, vb, vc_, vd = [np.full(d, float(i), np.float32) for i in range(1, 5)]
+    idx.insert("a", va)
+    idx.insert("b", vb)
+    idx.remove("b")  # slot 1 freed — recorded in the checkpoint TOMBSTONES
+    p = str(tmp_path / "fl.vx")
+    idx.enable_durable(p)  # checkpoint: free=[1]
+    idx.insert("c", vc_)  # reuses slot 1, journaled (no new checkpoint)
+    idx.close_durable()
+
+    idx2 = IVFIndex.load_durable(p)
+    assert 1 not in idx2._free, "replayed slot still on the free list"
+    idx2.insert("d", vd)  # must NOT overwrite c
+    got_c = idx2.search(vc_, k=1)[0]
+    got_d = idx2.search(vd, k=1)[0]
+    assert got_c.id == "c" and got_d.id == "d"
+    assert not (set(idx2._free) & set(idx2._vectors))
+
+
+def test_journal_preserves_post_checkpoint_metadata(tmp_path):
+    """Metadata passed to insert()/update() after enable_durable must survive
+    crash recovery (round-1 advisor: journal records had no metadata
+    field)."""
+    d = 8
+    x = _data(20, d)
+    idx = IVFIndex(d, config=IVFConfig(nlist=2, nprobe=2))
+    idx.insert_batch([f"v{i}" for i in range(10)], x[:10])
+    p = str(tmp_path / "md.vx")
+    idx.enable_durable(p)
+    idx.insert("j1", x[10], metadata={"tag": "journaled"})
+    idx.insert_batch(["j2", "j3"], x[11:13], metadatas=[{"n": 2}, {"n": 3}])
+    idx.update("v0", metadata={"patched": True})  # metadata-only update
+    idx.close_durable()
+
+    idx2 = IVFIndex.load_durable(p)
+    assert idx2.search(x[10], k=1)[0].metadata == {"tag": "journaled"}
+    assert idx2.search(x[12], k=1)[0].metadata == {"n": 3}
+    assert idx2.search(x[0], k=1)[0].metadata == {"patched": True}

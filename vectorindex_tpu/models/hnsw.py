@@ -64,7 +64,7 @@ class HNSWConfig:
     """Reference HNSWIndex.Configuration (HNSWIndex.swift:14-27)."""
 
     m: int = 16
-    ef_construction: int = 100
+    ef_construction: int = 200  # reference efConstruction=200 (HNSWIndex.swift:20)
     ef_search: int = 64
     seed: int = 0xDEADBEEFCAFEBABE
     stream: int = 0

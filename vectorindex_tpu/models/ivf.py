@@ -61,11 +61,13 @@ class IVFConfig:
     nprobe: int = 8
     train_iters: int = 20  # reference maxIterations 20 (:311)
     seed: int = 42  # reference k-means seed 42 (:367)
-    min_train_points: int = 2  # per list, before optimize is meaningful
 
 
 class IVFIndex(VectorIndex):
     TYPE = "ivf"
+    # metric whitelist — subclasses narrow this instead of re-implementing
+    # __init__ (IVF-PQ supports L2/IP only)
+    _ALLOWED_METRICS = (Metric.L2, Metric.INNER_PRODUCT, Metric.COSINE)
 
     def __init__(
         self,
@@ -74,10 +76,11 @@ class IVFIndex(VectorIndex):
         config: IVFConfig = IVFConfig(),
         storage_dtype=jnp.float32,
     ):
-        if metric not in (Metric.L2, Metric.INNER_PRODUCT, Metric.COSINE):
+        if metric not in self._ALLOWED_METRICS:
+            allowed = "/".join(m.value for m in self._ALLOWED_METRICS)
             raise (
                 ErrorBuilder(IndexErrorKind.UNSUPPORTED_METRIC)
-                .message(f"IVF supports L2/IP/cosine, got {metric.value}")
+                .message(f"{type(self).__name__} supports {allowed}, got {metric.value}")
                 .build()
             )
         self.dimension = dimension
@@ -150,7 +153,9 @@ class IVFIndex(VectorIndex):
         if getattr(self, "_durable", None) is not None:
             from vectorindex_tpu.persistence.durable import REC_INSERT, append_journal
 
-            append_journal(self._durable, REC_INSERT, slot, lst, v, ext_id=id)
+            append_journal(
+                self._durable, REC_INSERT, slot, lst, v, ext_id=id, metadata=metadata
+            )
 
     def insert_batch(self, ids, vectors, metadatas=None) -> None:
         vectors = np.asarray(vectors, dtype=np.float32)
@@ -178,7 +183,8 @@ class IVFIndex(VectorIndex):
             for i, (id_, s) in enumerate(zip(ids, slots)):
                 l = -1 if lists is None else int(lists[i])
                 append_journal(
-                    self._durable, REC_INSERT, s, l, vectors[i], ext_id=id_
+                    self._durable, REC_INSERT, s, l, vectors[i], ext_id=id_,
+                    metadata=None if metadatas is None else metadatas[i],
                 )
 
     def remove(self, id: VectorID) -> None:
@@ -213,9 +219,19 @@ class IVFIndex(VectorIndex):
                     append_journal,
                 )
 
-                append_journal(self._durable, REC_UPDATE, slot, lst, v, ext_id=id)
+                append_journal(
+                    self._durable, REC_UPDATE, slot, lst, v, ext_id=id,
+                    metadata=metadata,
+                )
         if metadata is not None:
             self._metadata[slot] = metadata
+            if vector is None and getattr(self, "_durable", None) is not None:
+                from vectorindex_tpu.persistence.durable import REC_META, append_journal
+
+                append_journal(
+                    self._durable, REC_META, slot, -1, None, ext_id=id,
+                    metadata=metadata,
+                )
 
     def contains(self, id: VectorID) -> bool:
         return id in self._idmap
@@ -254,9 +270,8 @@ class IVFIndex(VectorIndex):
     # ------------------------------------------------------------------
 
     def optimize(self) -> None:
-        if self.count < self.config.nlist * self.config.min_train_points:
-            if self.count == 0:
-                return
+        if self.count == 0:
+            return
         slots = sorted(self._vectors.keys())
         x = np.stack([self._vectors[s] for s in slots])
         cfg = km.KMeansConfig(
@@ -496,6 +511,7 @@ class IVFPQIndex(IVFIndex):
     """
 
     TYPE = "ivfpq"
+    _ALLOWED_METRICS = (Metric.L2, Metric.INNER_PRODUCT)
 
     def __init__(
         self,
@@ -504,32 +520,13 @@ class IVFPQIndex(IVFIndex):
         config: IVFPQConfig = IVFPQConfig(),
         storage_dtype=jnp.float32,
     ):
-        if metric not in (Metric.L2, Metric.INNER_PRODUCT):
-            raise (
-                ErrorBuilder(IndexErrorKind.UNSUPPORTED_METRIC)
-                .message(f"IVF-PQ supports L2/IP, got {metric.value}")
-                .build()
-            )
         if dimension % config.m != 0:
             raise (
                 ErrorBuilder(IndexErrorKind.INVALID_CONFIGURATION)
                 .message(f"dimension {dimension} not divisible by m={config.m}")
                 .build()
             )
-        super(IVFIndex, self).__init__()  # VectorIndex init (no-op)
-        # replicate IVFIndex.__init__ without its metric restriction clash
-        self.dimension = dimension
-        self.metric = metric
-        self.config = config
-        self.storage_dtype = storage_dtype
-        self._vectors = {}
-        self._metadata = {}
-        self._idmap = IDMap()
-        self._next_slot = 0
-        self._free = []
-        self._centroids = None
-        self._store = IVFListStore(config.nlist, dimension)
-        self._slot_list = {}
+        super().__init__(dimension, metric, config, storage_dtype)
         self._books = None  # PQCodebooks
         self._pq_cache = None  # (store_version, codes_dev, slot_rows_dev)
 

@@ -58,6 +58,12 @@ _DTYPES = {
     np.dtype("uint32"): 6,
     np.dtype("uint64"): 7,
 }
+try:  # bf16 — the TPU-native storage dtype (ml_dtypes ships with jax)
+    import ml_dtypes
+
+    _DTYPES[np.dtype(ml_dtypes.bfloat16)] = 8
+except ImportError:  # pragma: no cover
+    pass
 _DTYPES_INV = {v: k for k, v in _DTYPES.items()}
 _ERRKIND = {
     -1: IndexErrorKind.IO_ERROR,

@@ -21,8 +21,9 @@ Layout:
   FREELIST    journal: growable record stream (WAL-durable appends)
 
 Journal records (little-endian):
-  u32 kind (1=insert, 2=remove, 3=update_vec) | i32 slot | i32 list |
-  u32 ext_len | ext_id json bytes | f32 vec[d] (kinds 1,3; absent for remove)
+  u32 kind (1=insert, 2=remove, 3=update_vec, 4=set_metadata) | i32 slot |
+  i32 list | u32 ext_len | u32 meta_len | ext_id json bytes |
+  metadata json bytes | f32 vec[d] (kinds 1,3 only)
 """
 
 from __future__ import annotations
@@ -41,15 +42,22 @@ if TYPE_CHECKING:
 REC_INSERT = 1
 REC_REMOVE = 2
 REC_UPDATE = 3
+REC_META = 4
 
 
 def _journal_record(
-    kind: int, slot: int, list_id: int, ext_id, vec: Optional[np.ndarray]
+    kind: int,
+    slot: int,
+    list_id: int,
+    ext_id,
+    vec: Optional[np.ndarray],
+    metadata=None,
 ) -> np.ndarray:
     ext = json.dumps(ext_id).encode() if ext_id is not None else b""
-    head = struct.pack("<IiiI", kind, slot, list_id, len(ext))
+    meta = json.dumps(metadata).encode() if metadata is not None else b""
+    head = struct.pack("<IiiII", kind, slot, list_id, len(ext), len(meta))
     body = vec.astype("<f4").tobytes() if vec is not None else b""
-    return np.frombuffer(head + ext + body, dtype=np.uint8)
+    return np.frombuffer(head + ext + meta + body, dtype=np.uint8)
 
 
 def save_ivf_container(idx: "IVFIndex", path: str, journal_capacity: int = 1 << 22) -> None:
@@ -124,14 +132,16 @@ def save_ivf_container(idx: "IVFIndex", path: str, journal_capacity: int = 1 << 
 
 
 def append_journal(
-    c: Container, kind: int, slot: int, list_id: int, vec, ext_id=None
+    c: Container, kind: int, slot: int, list_id: int, vec, ext_id=None, metadata=None
 ) -> None:
     """Crash-consistent mutation append (reference durable ivf_append via
     IndexMmap WAL)."""
     c.append(
         SectionType.FREELIST,
         _journal_record(
-            kind, slot, list_id, ext_id, None if vec is None else np.asarray(vec)
+            kind, slot, list_id, ext_id,
+            None if vec is None else np.asarray(vec),
+            metadata=metadata,
         ),
     )
 
@@ -202,19 +212,27 @@ def load_ivf_container(path: str, cls=None) -> "IVFIndex":
         # replay the mutation journal (post-checkpoint inserts/removes)
         journal = c.read_array(SectionType.FREELIST).tobytes()
         off = 0
-        rec_head = struct.calcsize("<IiiI")
+        rec_head = struct.calcsize("<IiiII")
         vec_bytes = d * 4
         while off + rec_head <= len(journal):
-            kind, slot, list_id, ext_len = struct.unpack_from("<IiiI", journal, off)
+            kind, slot, list_id, ext_len, meta_len = struct.unpack_from(
+                "<IiiII", journal, off
+            )
             off += rec_head
             ext_id = (
                 json.loads(journal[off : off + ext_len].decode()) if ext_len else None
             )
             off += ext_len
+            metadata = (
+                json.loads(journal[off : off + meta_len].decode()) if meta_len else None
+            )
+            off += meta_len
             if kind in (REC_INSERT, REC_UPDATE):
                 v = np.frombuffer(journal, dtype="<f4", count=d, offset=off).copy()
                 off += vec_bytes
                 idx._vectors[slot] = v
+                if metadata is not None:
+                    idx._metadata[slot] = metadata
                 if kind == REC_INSERT and ext_id is not None:
                     idx._idmap.append(ext_id, slot)
                     idx._next_slot = max(idx._next_slot, slot + 1)
@@ -232,6 +250,25 @@ def load_ivf_container(path: str, cls=None) -> "IVFIndex":
                 lst = idx._slot_list.pop(slot, None)
                 if lst is not None:
                     idx._store.remove(lst, slot)
+            elif kind == REC_META:
+                idx._metadata[slot] = metadata
             else:
                 break
+
+        # Reconcile the free list with the replayed state: a post-checkpoint
+        # insert may have reused a slot that the checkpointed TOMBSTONES
+        # section still lists as free. Leaving it in _free would let a later
+        # insert silently overwrite a live vector (two external ids mapped to
+        # one slot). Drop live slots and duplicates, keeping stack order.
+        seen: set = set()
+        free = []
+        for s in idx._free:
+            if s in idx._vectors or s in seen:
+                continue
+            seen.add(s)
+            free.append(s)
+        idx._free = free
+        assert not (set(idx._free) & set(idx._vectors)), "slot both live and free"
+        if idx._vectors:
+            assert idx._next_slot > max(idx._vectors), "next_slot behind live slots"
         return idx

@@ -102,6 +102,10 @@ struct VCWalRecord { // reference WAL records VIndexMmap.swift:600-604
 
 static const uint32_t VC_WAL_BEGIN = 0x4257414CU;  // "LAWB"
 static const uint32_t VC_WAL_COMMIT = 0x4357414CU; // "LAWC"
+static const uint32_t VC_WAL_RELOC = 0x5257414CU;  // "LAWR" — grow-with-copy
+// relocation: offset field = new section offset, nbytes = new capacity.
+// Written durably BEFORE the TOC offset update so replay can find data that
+// moved between the last TOC sync and a crash.
 
 struct VCHandle {
   int fd;
@@ -109,6 +113,10 @@ struct VCHandle {
   uint64_t map_size;
   int writable;
   uint64_t wal_cursor; // write offset within the WAL section
+  // Read-only replay side table: WAL replay on a PROT_READ mapping must not
+  // write through the mapping (SIGSEGV); rolled-forward section state lives
+  // in this heap copy of the TOC instead, consulted by all section readers.
+  VCSection* ro_toc;
 };
 
 // ---------------------------------------------------------------------------
@@ -147,6 +155,32 @@ static uint64_t align_up(uint64_t x, uint64_t a) { return (x + a - 1) / a * a; }
 static VCHeader* header_of(VCHandle* h) { return (VCHeader*)h->map; }
 static VCSection* toc_of(VCHandle* h) { return (VCSection*)(h->map + sizeof(VCHeader)); }
 
+// Section view for readers: the replay side table when present (read-only
+// handles whose WAL replay rolled state forward), else the mapped TOC.
+static VCSection* section_view(VCHandle* h, uint32_t idx) {
+  return h->ro_toc ? &h->ro_toc[idx] : &toc_of(h)[idx];
+}
+
+// Mutable section for WAL replay: the mapped TOC when writable, else a
+// lazily-allocated heap copy of the whole TOC.
+static VCSection* replay_section(VCHandle* h, uint32_t idx) {
+  if (h->writable) return &toc_of(h)[idx];
+  if (!h->ro_toc) {
+    uint32_t n = header_of(h)->n_sections;
+    h->ro_toc = (VCSection*)malloc((size_t)n * sizeof(VCSection));
+    memcpy(h->ro_toc, toc_of(h), (size_t)n * sizeof(VCSection));
+  }
+  return &h->ro_toc[idx];
+}
+
+// msync the page range covering the header + TOC (durable length/offset
+// publication — see vc_append_commit / grow-with-copy).
+static int sync_toc(VCHandle* h) {
+  uint64_t end = sizeof(VCHeader) +
+                 (uint64_t)header_of(h)->cap_sections * sizeof(VCSection);
+  return msync(h->map, align_up(end, 4096), MS_SYNC);
+}
+
 static void update_header_crc(VCHandle* h) {
   VCHeader* hd = header_of(h);
   hd->header_crc = 0;
@@ -177,7 +211,7 @@ void* vc_create(const char* path, uint32_t cap_sections, uint64_t wal_capacity) 
   if (ftruncate(fd, (off_t)size) != 0) { close(fd); return nullptr; }
   void* m = mmap(nullptr, size, PROT_READ | PROT_WRITE, MAP_SHARED, fd, 0);
   if (m == MAP_FAILED) { close(fd); return nullptr; }
-  VCHandle* h = new VCHandle{fd, (uint8_t*)m, size, 1, 0};
+  VCHandle* h = new VCHandle{fd, (uint8_t*)m, size, 1, 0, nullptr};
   VCHeader* hd = header_of(h);
   memset(hd, 0, sizeof(VCHeader));
   hd->magic = VC_MAGIC;
@@ -224,7 +258,7 @@ void* vc_open(const char* path, int writable, int* err) {
                  writable ? PROT_READ | PROT_WRITE : PROT_READ,
                  MAP_SHARED, fd, 0);
   if (m == MAP_FAILED) { close(fd); if (err) *err = -1; return nullptr; }
-  VCHandle* h = new VCHandle{fd, (uint8_t*)m, (uint64_t)st.st_size, writable, 0};
+  VCHandle* h = new VCHandle{fd, (uint8_t*)m, (uint64_t)st.st_size, writable, 0, nullptr};
   int v = vc_validate(h);
   if (v != 0) {
     munmap(m, (size_t)st.st_size); close(fd); delete h;
@@ -240,11 +274,13 @@ void vc_close(void* vh) {
   if (h->writable) { update_header_crc(h); msync(h->map, h->map_size, MS_SYNC); }
   munmap(h->map, h->map_size);
   close(h->fd);
+  free(h->ro_toc);
   delete h;
 }
 
 int vc_sync(void* vh) { // reference msync full map :359-362
   VCHandle* h = (VCHandle*)vh;
+  if (!h->writable) return -1;
   update_header_crc(h);
   return msync(h->map, h->map_size, MS_SYNC);
 }
@@ -252,6 +288,7 @@ int vc_sync(void* vh) { // reference msync full map :359-362
 uint64_t vc_generation(void* vh) { return header_of((VCHandle*)vh)->generation; }
 void vc_bump_generation(void* vh) {
   VCHandle* h = (VCHandle*)vh;
+  if (!h->writable) return;
   header_of(h)->generation++;
   update_header_crc(h);
 }
@@ -294,7 +331,7 @@ int vc_find_section(void* vh, uint32_t type, uint32_t nth) {
   VCHeader* hd = header_of(h);
   uint32_t seen = 0;
   for (uint32_t i = 0; i < hd->n_sections; i++) {
-    if (toc_of(h)[i].type == type) {
+    if (section_view(h, i)->type == type) {
       if (seen == nth) return (int)i;
       seen++;
     }
@@ -309,7 +346,7 @@ int vc_section_info(void* vh, int idx, void** ptr, uint64_t* nbytes,
   VCHandle* h = (VCHandle*)vh;
   VCHeader* hd = header_of(h);
   if (idx < 0 || (uint32_t)idx >= hd->n_sections) return -1;
-  VCSection* s = &toc_of(h)[idx];
+  VCSection* s = section_view(h, (uint32_t)idx);
   if (ptr) *ptr = h->map + s->offset;
   // acquire load pairs with the release publication in vc_append_commit
   if (nbytes) *nbytes = std::atomic_ref<uint64_t>(s->nbytes).load(std::memory_order_acquire);
@@ -323,7 +360,7 @@ int vc_section_info(void* vh, int idx, void** ptr, uint64_t* nbytes,
 
 int vc_verify_section(void* vh, int idx) { // 0 ok, -5 crc mismatch
   VCHandle* h = (VCHandle*)vh;
-  VCSection* s = &toc_of(h)[idx];
+  VCSection* s = section_view(h, (uint32_t)idx);
   if (!s->crc32) return 0;
   uint32_t got = vc_crc32(h->map + s->offset, s->nbytes);
   return got == s->crc32 ? 0 : -5;
@@ -331,6 +368,7 @@ int vc_verify_section(void* vh, int idx) { // 0 ok, -5 crc mismatch
 
 int vc_set_nrows(void* vh, int idx, uint64_t nrows) {
   VCHandle* h = (VCHandle*)vh;
+  if (!h->writable) return -1;
   toc_of(h)[idx].nrows = nrows;
   update_header_crc(h);
   return 0;
@@ -364,16 +402,25 @@ uint64_t vc_append_begin(void* vh, int idx, uint64_t nbytes) {
   uint64_t cur = s->nbytes;
   if (cur + nbytes > s->capacity) {
     // grow-with-copy: relocate to EOF with doubled capacity (reference
-    // :633-712 grows the mapping and copies the list region)
+    // :633-712 grows the mapping and copies the list region).
+    // Crash-durability order: (1) copy + msync the data at its new home,
+    // (2) durably log a RELOC record, (3) update the TOC offset and sync it.
+    // Replay applies RELOC records, so committed data stays reachable even
+    // if the crash lands between any of these steps.
     uint64_t new_cap = s->capacity ? s->capacity : VC_ALIGN;
     while (cur + nbytes > new_cap) new_cap *= 2;
     uint64_t new_off = align_up(h->map_size, VC_ALIGN);
     if (remap(h, new_off + new_cap) != 0) return UINT64_MAX;
     s = &toc_of(h)[idx]; // remap may have moved the mapping
     memcpy(h->map + new_off, h->map + s->offset, cur);
+    if (cur)
+      msync(h->map + new_off / 4096 * 4096, (new_off % 4096) + cur, MS_SYNC);
+    VCWalRecord reloc{VC_WAL_RELOC, (uint32_t)idx, new_off, new_cap, 0, 0};
+    if (wal_write(h, &reloc) != 0) return UINT64_MAX;
     s->offset = new_off;
     s->capacity = new_cap;
     update_header_crc(h);
+    sync_toc(h);
   }
   VCWalRecord rec{VC_WAL_BEGIN, (uint32_t)idx, cur, nbytes, 0, 0};
   if (wal_write(h, &rec) != 0) return UINT64_MAX;
@@ -391,47 +438,82 @@ int vc_append_commit(void* vh, int idx, uint64_t offset, const void* data,
         (s->offset % 4096) + offset + nbytes, MS_SYNC);
   VCWalRecord rec{VC_WAL_COMMIT, (uint32_t)idx, offset, nbytes, dcrc, 0};
   if (wal_write(h, &rec) != 0) return -1;
-  // publish the new live length (release — readers use acquire)
+  // publish the new live length (release — readers use acquire), then make
+  // the publication power-crash durable by syncing the header/TOC page.
+  // (Replay would also roll it forward from the COMMIT record; the sync
+  // makes the common path not depend on replay.)
   std::atomic_ref<uint64_t>(s->nbytes).store(offset + nbytes, std::memory_order_release);
   update_header_crc(h);
+  sync_toc(h);
   return 0;
 }
 
-// Roll forward committed appends whose TOC publication was lost (crash
-// between commit record and header sync). Returns number applied, or -5 if
-// a committed record's data fails its CRC (corruption).
+// Roll forward committed appends (and section relocations) whose TOC
+// publication was lost — crash between commit record and header sync.
+// Scans the WAL area record-by-record until the first CRC-invalid record
+// (the torn tail / zeroed remainder) rather than trusting the TOC's WAL
+// length, which is itself only crash-durable via this same mechanism.
+// Read-only handles roll forward into a heap TOC copy (never write through
+// a PROT_READ mapping). Returns records applied, or -5 if a committed
+// record's data fails its CRC (real corruption).
 int vc_wal_replay(void* vh) {
   VCHandle* h = (VCHandle*)vh;
   VCSection* w = wal_section(h);
-  uint64_t n = std::atomic_ref<uint64_t>(w->nbytes).load(std::memory_order_acquire);
-  uint64_t nrec = n / sizeof(VCWalRecord);
+  uint64_t max_rec = w->capacity / sizeof(VCWalRecord);
   int applied = 0;
-  for (uint64_t i = 0; i < nrec; i++) {
+  uint64_t i = 0;
+  for (; i < max_rec; i++) {
     VCWalRecord rec;
     memcpy(&rec, h->map + w->offset + i * sizeof(rec), sizeof(rec));
     VCWalRecord tmp = rec;
     uint32_t got = tmp.rec_crc;
     tmp.rec_crc = 0;
-    if (vc_crc32(&tmp, sizeof(tmp)) != got) break; // torn tail — stop
-    if (rec.magic != VC_WAL_COMMIT) continue;
-    VCSection* s = &toc_of(h)[rec.section_index];
+    if (vc_crc32(&tmp, sizeof(tmp)) != got) break; // torn/zeroed tail — stop
+    if (rec.section_index == 0 || rec.section_index >= header_of(h)->n_sections)
+      break; // WAL itself / out of range — malformed, stop
+    if (rec.magic == VC_WAL_RELOC) {
+      VCSection* s = section_view(h, rec.section_index);
+      if (s->offset != rec.offset) {
+        s = replay_section(h, rec.section_index);
+        s->offset = rec.offset;
+        s->capacity = rec.nbytes;
+        applied++;
+      }
+      continue;
+    }
+    if (rec.magic != VC_WAL_COMMIT) {
+      if (rec.magic != VC_WAL_BEGIN) break; // unknown kind — stop
+      continue;
+    }
+    VCSection* s = section_view(h, rec.section_index);
     uint64_t cur = s->nbytes;
     uint64_t want = rec.offset + rec.nbytes;
     if (want > cur) {
       uint32_t dcrc = vc_crc32(h->map + s->offset + rec.offset, rec.nbytes);
       if (dcrc != rec.data_crc) return -5;
-      std::atomic_ref<uint64_t>(s->nbytes).store(want, std::memory_order_release);
+      s = replay_section(h, rec.section_index);
+      if (h->writable)
+        std::atomic_ref<uint64_t>(s->nbytes).store(want, std::memory_order_release);
+      else
+        s->nbytes = want;
       applied++;
     }
   }
-  h->wal_cursor = nrec * sizeof(VCWalRecord);
-  if (applied && h->writable) update_header_crc(h);
+  h->wal_cursor = i * sizeof(VCWalRecord);
+  if (h->writable) {
+    std::atomic_ref<uint64_t>(w->nbytes).store(h->wal_cursor, std::memory_order_release);
+    if (applied) update_header_crc(h);
+  }
   return applied;
 }
 
 int vc_wal_reset(void* vh) { // checkpoint: truncate the log
   VCHandle* h = (VCHandle*)vh;
+  if (!h->writable) return -1;
   VCSection* w = wal_section(h);
+  // Zero the log area so scan-based replay can never resurrect records from
+  // before this checkpoint (stale records still CRC-validate otherwise).
+  memset(h->map + w->offset, 0, w->capacity);
   h->wal_cursor = 0;
   std::atomic_ref<uint64_t>(w->nbytes).store(0, std::memory_order_release);
   update_header_crc(h);
