@@ -1,0 +1,120 @@
+"""Pallas IVF probe kernel (kernels/ivf_probe.py): interpret-mode parity vs
+the XLA gather path (the Swift-vs-C cross-implementation tier of SURVEY.md §4
+— two structurally different implementations must agree bit-for-bit on ids)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vectorindex_tpu.kernels.ivf_probe import ivf_search_flat_pallas
+from vectorindex_tpu.ops.ivf import IVFListStore, ivf_search_flat, probe_cap_for
+from vectorindex_tpu.ops.topk import INVALID_ID
+from vectorindex_tpu.utils.config import Metric
+
+
+def _clustered(n=900, d=32, kc=13, seed=0, skew=1.5):
+    rng = np.random.default_rng(seed)
+    cent = rng.standard_normal((kc, d)).astype(np.float32)
+    p = np.exp(rng.standard_normal(kc) * skew)
+    p /= p.sum()
+    assign = rng.choice(kc, size=n, p=p)
+    x = (cent[assign] + 0.3 * rng.standard_normal((n, d))).astype(np.float32)
+    store = IVFListStore(kc, d)
+    store.append_batch(assign, np.arange(n), x)
+    return cent, x, store
+
+
+@pytest.mark.parametrize(
+    "metric", [Metric.L2, Metric.INNER_PRODUCT, Metric.COSINE]
+)
+@pytest.mark.parametrize("nprobe", [1, 4, 13])
+def test_parity_vs_xla_path(metric, nprobe):
+    cent, x, store = _clustered()
+    arrays = store.sync_device()
+    cap = probe_cap_for(store.max_length)
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((7, x.shape[1])).astype(np.float32))
+    c = jnp.asarray(cent)
+    d1, i1 = ivf_search_flat(
+        q, c, arrays, nprobe=nprobe, probe_cap=cap, k=10, metric=metric
+    )
+    d2, i2 = ivf_search_flat_pallas(
+        q, c, arrays, nprobe=nprobe, probe_cap=cap, k=10, metric=metric,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(
+        np.asarray(d1), np.asarray(d2), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_skewed_lists_no_padding_leak():
+    """Heavy skew: the kernel must mask list tails — padding rows (zero
+    vectors) would otherwise win IP/cosine queries."""
+    cent, x, store = _clustered(skew=3.0, seed=3)
+    arrays = store.sync_device()
+    cap = probe_cap_for(store.max_length)
+    q = jnp.asarray(np.random.default_rng(2).standard_normal((5, 32)).astype(np.float32))
+    _, ids = ivf_search_flat_pallas(
+        q, jnp.asarray(cent), arrays, nprobe=13, probe_cap=cap, k=10,
+        metric=Metric.INNER_PRODUCT, interpret=True,
+    )
+    ids = np.asarray(ids)
+    assert (ids != -1).all()  # -1 = padding row id; must never surface
+
+
+def test_empty_lists_and_small_k():
+    kc, d = 8, 16
+    store = IVFListStore(kc, d)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((5, d)).astype(np.float32)
+    store.append_batch([0, 0, 3, 3, 3], np.arange(5), x)  # most lists empty
+    arrays = store.sync_device()
+    cent = rng.standard_normal((kc, d)).astype(np.float32)
+    q = jnp.asarray(x[:2])
+    dist, ids = ivf_search_flat_pallas(
+        q, jnp.asarray(cent), arrays, nprobe=kc,
+        probe_cap=probe_cap_for(store.max_length), k=10, metric=Metric.L2,
+        interpret=True,
+    )
+    dist, ids = np.asarray(dist), np.asarray(ids)
+    for b in range(2):
+        live = ids[b][np.isfinite(dist[b])]
+        assert set(live.tolist()) == set(range(5))
+    assert (ids[~np.isfinite(dist)] == INVALID_ID).all()
+
+
+def test_bf16_storage_parity():
+    cent, x, store = _clustered(seed=5)
+    arrays = store.sync_device(jnp.bfloat16)
+    cap = probe_cap_for(store.max_length)
+    q = jnp.asarray(np.random.default_rng(4).standard_normal((4, 32)).astype(np.float32))
+    d1, i1 = ivf_search_flat(
+        q, jnp.asarray(cent), arrays, nprobe=6, probe_cap=cap, k=8,
+        metric=Metric.L2,
+    )
+    d2, i2 = ivf_search_flat_pallas(
+        q, jnp.asarray(cent), arrays, nprobe=6, probe_cap=cap, k=8,
+        metric=Metric.L2, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-2, rtol=1e-2)
+
+
+def test_strict_tie_contract():
+    """Duplicate vectors: ties at the k boundary must resolve by ascending
+    internal id (reference TopK.swift:8-30)."""
+    kc, d = 4, 16
+    store = IVFListStore(kc, d)
+    v = np.ones((12, d), np.float32)  # identical rows → identical distances
+    # scatter into lists out of id order
+    store.append_batch([2, 0, 1, 3, 2, 0, 1, 3, 2, 0, 1, 3], np.arange(12)[::-1], v)
+    arrays = store.sync_device()
+    cent = np.zeros((kc, d), np.float32)
+    q = jnp.asarray(np.zeros((1, d), np.float32))
+    _, ids = ivf_search_flat_pallas(
+        q, jnp.asarray(cent), arrays, nprobe=kc,
+        probe_cap=probe_cap_for(store.max_length), k=5, metric=Metric.L2,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ids)[0], np.arange(5))

@@ -1,0 +1,261 @@
+"""Pallas TPU kernel: scalar-prefetch IVF probed search.
+
+The production IVF serving kernel (reference searchKernel30Flat,
+IVFIndex.swift:862-985 = #29 ivf_select → zero-copy readList →
+#40 rerank_exact_topk; IVFSelect.swift:78). The XLA fallback
+(ops/ivf.ivf_search_flat) gathers `nprobe × probe_cap` rows per query —
+probe_cap is a *global* pow2 ≥ the longest list, so short/skewed lists cause
+most of the gather traffic to be padding. This kernel reads only the live
+256-row blocks of each probed list:
+
+  grid = (B · nprobe,) — one step per (query, probe) pair
+  scalar prefetch: per-pair (start_block, live_rows) from the CSR TOC
+  per step: double-buffered DMA of the list's live blocks HBM→VMEM,
+            dot-trick scoring on the MXU against the one owning query row,
+            lane-masked tail, distances written to [pair, probe_cap] f32
+  epilogue (XLA): position top-C over the candidate matrix, internal-id
+            gather for C rows only, strict (score, id) top-k (#05 contract)
+
+HBM traffic = Σ live_rows · d · sizeof(dtype) — the kernel is list-length-
+adaptive with zero recompiles (lengths are data, not shapes). The CSR packer
+guarantees every list's reserved region is a whole number of 256-row blocks
+(ops/ivf.IVFListStore._cap_for: pow2 capacities ≥ 256), so block DMA never
+crosses a list boundary.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vectorindex_tpu.ops.topk import INVALID_DIST, INVALID_ID, topk
+from vectorindex_tpu.utils.config import Metric
+
+Array = jax.Array
+
+BLK = 256  # rows per DMA block == the CSR packer's minimum list capacity
+
+
+def _probe_kernel(
+    sb_ref,  # scalar prefetch: [T] i32 start block per (query, probe)
+    lr_ref,  # scalar prefetch: [T] i32 live rows per (query, probe)
+    q_ref,  # [B, d] f32, VMEM-resident
+    vecs_ref,  # [NB, BLK, d] storage dtype, stays in HBM
+    sqn_ref,  # [NB, 1, BLK] f32 squared norms, stays in HBM
+    out_ref,  # block [1, 1, cap_rows] f32
+    buf,  # VMEM (2, BLK, d) — double-buffered vector blocks
+    sbuf,  # VMEM (2, 1, BLK) f32 — double-buffered sqnorm blocks
+    sems,  # DMA semaphores (2, 2)
+    *,
+    nprobe: int,
+    metric: Metric,
+):
+    """Mosaic layout notes: DMAs slice only the UNTILED leading dim of 3-D
+    HBM arrays (slicing inside an (8,128) tile is rejected); all vectors stay
+    lane-oriented [1, BLK] so no relayouts occur; scoring runs the whole
+    query batch through one [BLK,d]x[d,B] MXU matmul (an N=1 matvec falls
+    off the MXU onto an unsupported bf16 VPU lowering) and the owning
+    query's row is picked with a one-hot sublane reduce."""
+    t = pl.program_id(0)
+    qi = t // nprobe
+    qrow = q_ref[pl.ds(qi, 1), :].astype(jnp.float32)  # [1, d]
+    sb = sb_ref[t]
+    nrows = lr_ref[t]
+    nblk = pl.cdiv(nrows, BLK)
+    # dead slots (tail of the last live block + unreached blocks) sort last
+    out_ref[:] = jnp.full(out_ref.shape, INVALID_DIST, jnp.float32)
+
+    def vec_dma(b, slot):
+        return pltpu.make_async_copy(
+            vecs_ref.at[sb + b], buf.at[slot], sems.at[slot, 0]
+        )
+
+    def sqn_dma(b, slot):
+        return pltpu.make_async_copy(
+            sqn_ref.at[sb + b], sbuf.at[slot], sems.at[slot, 1]
+        )
+
+    @pl.when(nblk > 0)
+    def _():
+        vec_dma(0, 0).start()
+        sqn_dma(0, 0).start()
+
+    qn = jnp.sum(qrow * qrow)
+    nq = q_ref.shape[0]
+    qx = q_ref[:].astype(vecs_ref.dtype)  # [B, d] in storage dtype
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (nq, 1), 0) == qi
+    ).astype(jnp.float32)  # [B, 1]
+
+    def body(b, carry):
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when(b + 1 < nblk)
+        def _():
+            vec_dma(b + 1, 1 - slot).start()
+            sqn_dma(b + 1, 1 - slot).start()
+
+        vec_dma(b, slot).wait()
+        sqn_dma(b, slot).wait()
+        x = buf[slot]  # [BLK, d] storage dtype (bf16 fast path)
+        g_all = jax.lax.dot_general(
+            qx,
+            x,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [B, BLK]
+        g = jnp.sum(g_all * sel, axis=0, keepdims=True)  # [1, BLK]
+        s = sbuf[slot]  # [1, BLK]
+        if metric == Metric.L2:
+            dist = qn + s - 2.0 * g
+        elif metric == Metric.INNER_PRODUCT:
+            dist = -g
+        elif metric == Metric.COSINE:
+            qinv = jax.lax.rsqrt(jnp.maximum(qn, 1e-30))
+            xinv = jnp.where(s > 0, jax.lax.rsqrt(jnp.maximum(s, 1e-30)), 0.0)
+            dist = 1.0 - g * qinv * xinv
+        else:
+            raise ValueError(f"unsupported metric {metric}")
+        live = nrows - b * BLK
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
+        dist = jnp.where(lane < live, dist, INVALID_DIST)
+        out_ref[0, :, pl.ds(b * BLK, BLK)] = dist
+        return carry
+
+    jax.lax.fori_loop(0, nblk, body, 0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nprobe", "probe_cap", "metric", "interpret"),
+)
+def ivf_probe_scores(
+    q: Array,  # [B, d] f32
+    start_rows: Array,  # [B, nprobe] i32 — CSR start row of each probed list
+    live_rows: Array,  # [B, nprobe] i32 — live length of each probed list
+    vecs: Array,  # [N_pad, d] storage dtype, N_pad % BLK == 0
+    sqnorms: Array,  # [N_pad] f32
+    *,
+    nprobe: int,
+    probe_cap: int,  # static per-list row budget, multiple of BLK
+    metric: Metric = Metric.L2,
+    interpret: bool = False,
+) -> Array:
+    """Distances for every (query, probe, slot) → [B, nprobe·probe_cap] f32
+    with +inf in dead slots. Probe-local slot p maps to corpus row
+    start_rows[b, p // probe_cap] + p % probe_cap."""
+    b, d = q.shape
+    assert probe_cap % BLK == 0 and vecs.shape[0] % BLK == 0
+    cap_rows = probe_cap
+    t = b * nprobe
+    nb = vecs.shape[0] // BLK
+    vecs_blocked = vecs.reshape(nb, BLK, d)
+    sqn_blocked = sqnorms.astype(jnp.float32).reshape(nb, 1, BLK)
+    start_blk = (start_rows // BLK).reshape(t).astype(jnp.int32)
+    lens = live_rows.reshape(t).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # q (whole batch resident)
+            # corpus stays in HBM and is DMA'd block-by-block — ANY would let
+            # the compiler pull a small-enough array whole into VMEM, where
+            # Mosaic can't dynamic-slice rows for the double-buffer copies
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        # 3-D out: Pallas requires the block's last two dims to be tile-
+        # divisible or equal to the array dims — (1, cap_rows) of a 2-D out
+        # fails the sublane rule, (1, 1, cap_rows) of [T, 1, cap_rows] is ok
+        out_specs=pl.BlockSpec(
+            (1, 1, cap_rows), lambda i, sb, lr: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, BLK, d), vecs.dtype),
+            pltpu.VMEM((2, 1, BLK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_probe_kernel, nprobe=nprobe, metric=metric),
+        out_shape=jax.ShapeDtypeStruct((t, 1, cap_rows), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(start_blk, lens, q.astype(jnp.float32), vecs_blocked, sqn_blocked)
+    return out.reshape(b, nprobe * probe_cap)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nprobe", "probe_cap", "k", "metric", "interpret"),
+)
+def ivf_search_flat_pallas(
+    q: Array,
+    centroids: Array,
+    arrays,  # ops.ivf.IVFListArrays
+    *,
+    nprobe: int,
+    probe_cap: int,
+    k: int,
+    metric: Metric = Metric.L2,
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """IVF-Flat probed search → (dist [B,k], internal ids [B,k]).
+
+    Drop-in for ops.ivf.ivf_search_flat with the Pallas probe kernel in the
+    hot seat. Exact within probed lists; result contract identical (strict
+    (score, id) tie-break on the final k)."""
+    from vectorindex_tpu.ops.ivf import ivf_select
+
+    b, d = q.shape
+    q = q.astype(jnp.float32)
+    _, probe_lists = ivf_select(q, centroids, nprobe=nprobe, metric=metric)
+    vecs, sqn = arrays.vecs, arrays.sqnorms
+    pad = (-vecs.shape[0]) % BLK
+    if pad:  # only possible for degenerate/tiny stores (packer emits 256s)
+        vecs = jnp.concatenate(
+            [vecs, jnp.zeros((pad, d), vecs.dtype)], axis=0
+        )
+        sqn = jnp.concatenate([sqn, jnp.zeros((pad,), sqn.dtype)])
+    start_rows = arrays.starts[probe_lists]  # [B, nprobe]
+    live_rows = arrays.lengths[probe_lists]
+    dist = ivf_probe_scores(
+        q, start_rows, live_rows, vecs, sqn,
+        nprobe=nprobe, probe_cap=probe_cap, metric=metric,
+        interpret=interpret,
+    )  # [B, nprobe·probe_cap]
+
+    # epilogue: position top-C (ties by slot position — deterministic), then
+    # gather internal ids for just C rows and apply the strict (score, id)
+    # contract (reference TopK.swift:8-30) on the survivors.
+    p = dist.shape[1]
+    kk = min(k, p)
+    c = min(max(4 * kk, 128), p)
+    cd, cp = topk(dist, c, strict_ties=False)
+    probe_of = cp // probe_cap
+    off = cp % probe_cap
+    rows = jnp.take_along_axis(start_rows, probe_of, axis=1) + off
+    iids = arrays.row_ids[jnp.clip(rows, 0, arrays.row_ids.shape[0] - 1)]
+    iids = jnp.where(jnp.isfinite(cd), iids, INVALID_ID)
+    sd, si = topk(cd, kk, ids=iids, strict_ties=True)
+    if metric == Metric.L2:
+        sd = jnp.where(jnp.isfinite(sd), jnp.maximum(sd, 0.0), sd)
+    if kk < k:  # degenerate: fewer candidate slots than k
+        padk = k - kk
+        sd = jnp.concatenate(
+            [sd, jnp.full((b, padk), INVALID_DIST, sd.dtype)], axis=1
+        )
+        si = jnp.concatenate(
+            [si, jnp.full((b, padk), INVALID_ID, si.dtype)], axis=1
+        )
+    return sd, si
