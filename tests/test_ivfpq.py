@@ -193,3 +193,69 @@ def test_ivfpq_config_validation():
         IVFPQIndex(15, config=IVFPQConfig(m=4))  # 15 % 4 != 0
     with pytest.raises(IndexError):
         IVFPQIndex(16, metric=Metric.COSINE)
+
+
+def test_incremental_encode_on_insert(monkeypatch):
+    """A single insert into a trained IVF-PQ index must re-encode O(1) rows,
+    not the corpus (round-1 VERDICT weak #7 / next-round #9)."""
+    import vectorindex_tpu.ops.pq as pq_ops
+    from vectorindex_tpu.models.ivf import IVFPQConfig, IVFPQIndex
+
+    rng = np.random.default_rng(11)
+    d, n = 16, 600
+    centers = rng.standard_normal((6, d)).astype(np.float32) * 2
+    x = (centers[rng.integers(0, 6, n)] + 0.2 * rng.standard_normal((n, d))).astype(
+        np.float32
+    )
+    idx = IVFPQIndex(d, config=IVFPQConfig(nlist=4, nprobe=4, m=4, ks=16))
+    idx.insert_batch(list(range(n)), x)
+    idx.optimize()
+    idx.search(x[0], k=5)  # full encode happens here
+
+    encoded_rows = []
+    real_encode = pq_ops.pq_encode_residual
+
+    def counting_encode(vecs, *a, **kw):
+        encoded_rows.append(int(vecs.shape[0]))
+        return real_encode(vecs, *a, **kw)
+
+    monkeypatch.setattr(pq_ops, "pq_encode_residual", counting_encode)
+
+    for i in range(3):
+        idx.insert(n + i, x[i] + 0.01)
+        idx.search(x[i], k=5)
+    assert encoded_rows, "inserts did not trigger any encode"
+    assert max(encoded_rows) <= 4, f"expected O(1) row encodes, got {encoded_rows}"
+    # and results still include the new vectors
+    got = [r.id for r in idx.search(x[0] + 0.01, k=3)]
+    assert n + 0 in got
+
+
+def test_incremental_encode_matches_full_rebuild():
+    """Search results after incremental code patches must equal a fresh
+    index built from the same data (correctness of the patched codes)."""
+    from vectorindex_tpu.models.ivf import IVFPQConfig, IVFPQIndex
+
+    rng = np.random.default_rng(12)
+    d, n = 16, 500
+    centers = rng.standard_normal((5, d)).astype(np.float32) * 2
+    x = (centers[rng.integers(0, 5, n + 40)] + 0.2 * rng.standard_normal((n + 40, d))).astype(
+        np.float32
+    )
+    cfg = IVFPQConfig(nlist=4, nprobe=4, m=4, ks=16, seed=7)
+    a = IVFPQIndex(d, config=cfg)
+    a.insert_batch(list(range(n)), x[:n])
+    a.optimize()
+    a.search(x[0], k=5)  # populate the code cache
+    for i in range(n, n + 40):
+        a.insert(i, x[i])  # incremental patches
+
+    b = IVFPQIndex(d, config=cfg)
+    b.insert_batch(list(range(n)), x[:n])
+    b.optimize()
+    b.insert_batch(list(range(n, n + 40)), x[n:])
+    b._pq_cache = None  # drop the cache → next search fully re-encodes
+    for qi in range(0, 40, 7):
+        ra = [r.id for r in a.search(x[n + qi], k=5)]
+        rb = [r.id for r in b.search(x[n + qi], k=5)]
+        assert ra == rb, (qi, ra, rb)

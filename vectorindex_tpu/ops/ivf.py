@@ -78,6 +78,13 @@ def ivf_select(
 # ---------------------------------------------------------------------------
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _patch_rows(dst: Array, rows: Array, vals: Array) -> Array:
+    """Scatter vals into dst[rows]; out-of-range rows (padding) drop. The
+    destination buffer is donated so XLA updates it in place."""
+    return dst.at[rows].set(vals, mode="drop")
+
+
 class IVFListArrays(NamedTuple):
     """Device-side view of the CSR list storage."""
 
@@ -101,6 +108,10 @@ class IVFListStore:
         self.dim = dim
         self.timestamps = timestamps  # reference IVFAppendOpts.timestamps
         self.version = 0  # bumped on every mutation (cache invalidation key)
+        # bumped only when packed rows MOVE (repack); in-place appends keep
+        # the layout so downstream caches (device arrays, PQ codes) can be
+        # patched incrementally instead of rebuilt
+        self.layout_version = 0
         self._lists_ids: list[list[int]] = [[] for _ in range(n_lists)]
         self._lists_vecs: list[list[np.ndarray]] = [[] for _ in range(n_lists)]
         self._lists_ts: list[list[int]] = [[] for _ in range(n_lists)]
@@ -108,6 +119,10 @@ class IVFListStore:
         self._dirty = True  # needs repack/resync
         self._packed = None  # host CSR mirror
         self._dev: Optional[IVFListArrays] = None
+        # in-place appends since the last repack: (version, packed_row, list)
+        self._patch_log: list[tuple[int, int, int]] = []
+        # packed rows not yet patched into the device mirror
+        self._dev_pending: list[int] = []
 
     # -- mutation --
 
@@ -122,17 +137,18 @@ class IVFListStore:
         if len(self._lists_ids[list_id]) > self._caps[list_id]:
             self._dirty = True  # overflow → repack on next sync
         else:
-            # in-place append into the packed mirror
+            # in-place append into the packed mirror; the device mirror is
+            # patched incrementally on the next sync (one bucketed scatter)
             if self._packed is not None and not self._dirty:
                 start = self._packed["starts"][list_id]
                 ln = self._packed["lengths"][list_id]
-                self._packed["vecs"][start + ln] = self._lists_vecs[list_id][-1]
-                self._packed["row_ids"][start + ln] = internal_id
-                self._packed["sqnorms"][start + ln] = float(
-                    np.dot(vec, vec)
-                )
+                row = int(start + ln)
+                self._packed["vecs"][row] = self._lists_vecs[list_id][-1]
+                self._packed["row_ids"][row] = internal_id
+                self._packed["sqnorms"][row] = float(np.dot(vec, vec))
                 self._packed["lengths"][list_id] += 1
-                self._dev = None  # device copy stale
+                self._patch_log.append((self.version, row, list_id))
+                self._dev_pending.append(row)
 
     def append_batch(self, list_ids, internal_ids, vecs, ts=None) -> None:
         self.version += 1
@@ -211,12 +227,17 @@ class IVFListStore:
         }
         self._dirty = False
         self._dev = None
+        self.layout_version += 1  # rows moved — downstream caches rebuild
+        self._patch_log.clear()
+        self._dev_pending.clear()
 
     def sync_device(self, storage_dtype=jnp.float32) -> IVFListArrays:
         if self._dirty or self._packed is None:
             self._repack()
+        p = self._packed
+        if self._dev is not None and self._dev.vecs.dtype != storage_dtype:
+            self._dev = None  # dtype switch — full re-upload
         if self._dev is None:
-            p = self._packed
             self._dev = IVFListArrays(
                 vecs=jnp.asarray(p["vecs"], dtype=storage_dtype),
                 row_ids=jnp.asarray(p["row_ids"]),
@@ -228,6 +249,39 @@ class IVFListStore:
                     else jnp.asarray(p["timestamps"])
                 ),
             )
+            self._dev_pending.clear()
+        elif self._dev_pending:
+            # incremental device patch: one bucketed scatter for the rows
+            # appended in place since the last sync (pow2-padded so shapes —
+            # and therefore compiled programs — repeat across calls)
+            rows = np.asarray(sorted(set(self._dev_pending)), dtype=np.int32)
+            pad = (1 << int(max(len(rows) - 1, 0)).bit_length()) - len(rows)
+            n_pad = p["vecs"].shape[0]
+            rows_p = np.concatenate(
+                [rows, np.full(pad, n_pad, np.int32)]
+            )  # OOB rows drop in the scatter
+            d = self._dev
+            self._dev = IVFListArrays(
+                vecs=_patch_rows(
+                    d.vecs, jnp.asarray(rows_p),
+                    jnp.asarray(p["vecs"][rows_p % n_pad], dtype=d.vecs.dtype),
+                ),
+                row_ids=_patch_rows(
+                    d.row_ids, jnp.asarray(rows_p),
+                    jnp.asarray(p["row_ids"][rows_p % n_pad]),
+                ),
+                sqnorms=_patch_rows(
+                    d.sqnorms, jnp.asarray(rows_p),
+                    jnp.asarray(p["sqnorms"][rows_p % n_pad]),
+                ),
+                starts=d.starts,
+                lengths=jnp.asarray(p["lengths"]),
+                timestamps=(
+                    None if p.get("timestamps") is None
+                    else jnp.asarray(p["timestamps"])
+                ),
+            )
+            self._dev_pending.clear()
         return self._dev
 
     @property
