@@ -16,6 +16,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 DATA_AXIS = "data"
+REPLICA_AXIS = "replica"
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
@@ -24,6 +25,27 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
+
+
+def make_mesh_2d(
+    n_replicas: int,
+    n_data: Optional[int] = None,
+    axes: tuple = (REPLICA_AXIS, DATA_AXIS),
+    devices=None,
+) -> Mesh:
+    """2-D (replica × data) mesh — the DCN-ready layout (SURVEY.md §5.8):
+    the corpus shards along `data` (ICI collectives stay inside a replica
+    group / slice) and replicates across `replica`; queries shard across
+    `replica` so each slice serves its own request stream. On multi-slice
+    hardware the replica axis maps onto DCN, where only the tiny per-request
+    routing (no corpus traffic) would cross slices."""
+    devs = list(jax.devices() if devices is None else devices)
+    if n_data is None:
+        n_data = len(devs) // n_replicas
+    need = n_replicas * n_data
+    assert len(devs) >= need, f"need {need} devices, have {len(devs)}"
+    grid = np.array(devs[:need]).reshape(n_replicas, n_data)
+    return Mesh(grid, axes)
 
 
 def corpus_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:

@@ -111,3 +111,47 @@ def make_sharded_search_fn(mesh: Mesh, k: int, metric: Metric, axis: str = DATA_
         )
 
     return run
+
+
+def sharded_flat_search_2d(
+    mesh: Mesh,
+    q: Array,
+    x: Array,
+    valid: Array,
+    k: int,
+    metric: Metric = Metric.L2,
+    replica_axis: str = "replica",
+    data_axis: str = DATA_AXIS,
+):
+    """Exact top-k on a 2-D (replica × data) mesh (SURVEY.md §5.8 DCN axis):
+    the corpus shards along `data` and replicates across `replica`; the query
+    batch shards across `replica` so each slice serves its own request
+    stream. All corpus-sized collectives (the per-shard top-k all_gather)
+    stay inside a replica group — on multi-slice hardware that keeps them on
+    ICI, with nothing corpus-sized crossing the DCN axis.
+
+    q: [B, d] with B divisible by the replica-axis size. Returns
+    (dist [B, k], ids [B, k]) sharded like q on the replica axis."""
+
+    def shard_fn(q, x, valid):
+        size = jax.lax.axis_size(data_axis)
+        my = jax.lax.axis_index(data_axis)
+        n_shard = x.shape[0]
+        dist = scoring.distance_block(q, x, metric)
+        local_ids = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) + my * n_shard
+        d, i = topk_padded(dist, valid[0][None, :], k, ids=local_ids)
+        ds = jax.lax.all_gather(d, data_axis)  # within the replica group
+        is_ = jax.lax.all_gather(i, data_axis)
+        return merge_topk(ds.transpose(1, 0, 2), is_.transpose(1, 0, 2), k)
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(replica_axis),  # queries shard across replicas
+            P(data_axis),  # corpus shards within a replica group
+            P(None, data_axis),
+        ),
+        out_specs=(P(replica_axis), P(replica_axis)),
+    )
+    return fn(q, x, valid[None])
