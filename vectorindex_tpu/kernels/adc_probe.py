@@ -1,0 +1,306 @@
+"""Pallas TPU kernel: scalar-prefetch IVF-PQ ADC probed search.
+
+The probed counterpart of kernels/adc.py (full-corpus one-hot ADC) and the
+PQ sibling of kernels/ivf_probe.py — together the rebuild of the reference's
+ADC query pipeline (SURVEY.md §3.3 variant: pq_lut_residual_l2 PQLUT.swift:287
+→ adc_scan_u8 over probed lists ADCScan.swift:99).
+
+Key design: the fused per-(query, probe) residual LUT decomposes (see
+ops/pq.pq_lut_q_l2) into
+    dist = base(q, list) + Σ_j qlut[j, k_j] + t_row
+so the kernel carries ONE per-query LUT (VMEM-stationary bf16, [B, m·ks])
+instead of B·nprobe LUTs; the per-row constant t streams alongside the code
+blocks; base comes from the coarse-select distances and is added in the XLA
+epilogue. Per grid step (one (query, probe) pair):
+  - double-buffered DMA of the list's live 256-row code blocks (m or m/2
+    bytes per row — the whole point of PQ) + the t-correction rows,
+  - code-major one-hot expansion in VMEM (never touches HBM),
+  - one MXU contraction [B, m·ks] × [BLK, m·ks]ᵀ for the whole query batch,
+    one-hot sublane select for the owning query,
+  - lane-masked distances written to the candidate matrix.
+Epilogue (XLA): + base, position top-C, id gather, optional exact rerank
+(ops/ivf_pq.rerank_rows), strict (score, id) top-k.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vectorindex_tpu.kernels.ivf_probe import BLK
+from vectorindex_tpu.ops.topk import INVALID_DIST, INVALID_ID, topk
+from vectorindex_tpu.utils.config import Metric
+
+Array = jax.Array
+
+
+def _adc_probe_kernel(
+    sb_ref,  # scalar prefetch: [T] i32 start block per (query, probe)
+    lr_ref,  # scalar prefetch: [T] i32 live rows per (query, probe)
+    lut_ref,  # [B, m·ks] bf16/f32, code-major flat, VMEM-resident
+    codes_ref,  # [NB, mb, BLK] u8 (block-transposed), stays in HBM
+    tcorr_ref,  # [NB, 1, BLK] f32 per-row corrections, stays in HBM
+    out_ref,  # block [1, 1, cap_rows] f32
+    cbuf,  # VMEM (2, BLK, mb) u8
+    tbuf,  # VMEM (2, 1, BLK) f32
+    sems,  # DMA semaphores (2, 2)
+    *,
+    nprobe: int,
+    m: int,
+    ks: int,
+    packed_u4: bool,
+    mxu_dtype,
+):
+    t = pl.program_id(0)
+    qi = t // nprobe
+    sb = sb_ref[t]
+    nrows = lr_ref[t]
+    nblk = pl.cdiv(nrows, BLK)
+    out_ref[:] = jnp.full(out_ref.shape, INVALID_DIST, jnp.float32)
+
+    def code_dma(b, slot):
+        return pltpu.make_async_copy(
+            codes_ref.at[sb + b], cbuf.at[slot], sems.at[slot, 0]
+        )
+
+    def t_dma(b, slot):
+        return pltpu.make_async_copy(
+            tcorr_ref.at[sb + b], tbuf.at[slot], sems.at[slot, 1]
+        )
+
+    @pl.when(nblk > 0)
+    def _():
+        code_dma(0, 0).start()
+        t_dma(0, 0).start()
+
+    nq = lut_ref.shape[0]
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (nq, 1), 0) == qi
+    ).astype(jnp.float32)  # [B, 1]
+    lut = lut_ref[:]  # [B, m·ks] stationary across the whole grid
+
+    def body(b, carry):
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when(b + 1 < nblk)
+        def _():
+            code_dma(b + 1, 1 - slot).start()
+            t_dma(b + 1, 1 - slot).start()
+
+        code_dma(b, slot).wait()
+        t_dma(b, slot).wait()
+        raw = cbuf[slot].astype(jnp.int32)  # [mb, BLK] (block-transposed:
+        # codes need BLK on the lane axis — a 16-byte lane dim violates the
+        # (32, 128) u8 tiling for DMA slices)
+        if packed_u4:
+            lo = raw & 0xF
+            hi = raw >> 4
+            codes = jnp.concatenate([lo, hi], axis=0)  # [m, BLK] lo|hi order
+        else:
+            codes = raw
+        # code-major transposed one-hot (adc.py pattern): pltpu.repeat tiles
+        # the whole array, so row f encodes (subspace f % m, code f // m) —
+        # the caller flattens the LUT code-major (lo|hi-permuted for u4).
+        codes_rep = pltpu.repeat(codes, ks, axis=0)  # [m·ks, BLK]
+        val = jax.lax.broadcasted_iota(jnp.int32, (m * ks, BLK), 0) // m
+        onehot = (codes_rep == val).astype(mxu_dtype)
+        g_all = jax.lax.dot_general(
+            lut,
+            onehot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [B, BLK]
+        g = jnp.sum(g_all * sel, axis=0, keepdims=True)  # [1, BLK]
+        dist = g + tbuf[slot]
+        live = nrows - b * BLK
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
+        dist = jnp.where(lane < live, dist, INVALID_DIST)
+        out_ref[0, :, pl.ds(b * BLK, BLK)] = dist
+        return carry
+
+    jax.lax.fori_loop(0, nblk, body, 0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nprobe", "probe_cap", "m", "ks", "packed_u4", "interpret"),
+)
+def adc_probe_scores(
+    lut_q: Array,  # [B, m, ks] f32 query-only LUT (pq_lut_q_l2 / pq_lut_ip)
+    start_rows: Array,  # [B, nprobe] i32
+    live_rows: Array,  # [B, nprobe] i32
+    codes: Array,  # [N_pad, m] u8 or [N_pad, m//2] packed u4
+    tcorr: Array,  # [N_pad] f32 per-row corrections (zeros for IP)
+    *,
+    nprobe: int,
+    probe_cap: int,
+    m: int,
+    ks: int,
+    packed_u4: bool = False,
+    interpret: bool = False,
+) -> Array:
+    """ADC partial distances (WITHOUT the base(q, list) term) for every
+    (query, probe, slot) → [B, nprobe·probe_cap] f32, +inf in dead slots."""
+    b = lut_q.shape[0]
+    n_pad, mb = codes.shape
+    assert probe_cap % BLK == 0 and n_pad % BLK == 0
+    t = b * nprobe
+    nb = n_pad // BLK
+    # block-transpose: [NB, mb, BLK] keeps the 256 rows on the lane axis
+    codes_blocked = codes.reshape(nb, BLK, mb).transpose(0, 2, 1)
+    tcorr_blocked = tcorr.astype(jnp.float32).reshape(nb, 1, BLK)
+    start_blk = (start_rows // BLK).reshape(t).astype(jnp.int32)
+    lens = live_rows.reshape(t).astype(jnp.int32)
+
+    mxu_dtype = jnp.float32 if interpret else jnp.bfloat16
+    if packed_u4:
+        # kernel unpacks lo|hi-concatenated; permute subspaces to match,
+        # then flatten code-major (adc.py u4 pattern)
+        perm = jnp.concatenate(
+            [jnp.arange(0, m, 2, dtype=jnp.int32), jnp.arange(1, m, 2, dtype=jnp.int32)]
+        )
+        lut_flat = (
+            lut_q[:, perm, :].transpose(0, 2, 1).reshape(b, ks * m)
+        )
+    else:
+        lut_flat = lut_q.transpose(0, 2, 1).reshape(b, ks * m)
+    lut_flat = lut_flat.astype(mxu_dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lut (batch-stationary)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # codes
+            pl.BlockSpec(memory_space=pltpu.HBM),  # tcorr
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, probe_cap), lambda i, sb, lr: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, mb, BLK), jnp.uint8),
+            pltpu.VMEM((2, 1, BLK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(
+            _adc_probe_kernel,
+            nprobe=nprobe, m=m, ks=ks, packed_u4=packed_u4,
+            mxu_dtype=mxu_dtype,
+        ),
+        out_shape=jax.ShapeDtypeStruct((t, 1, probe_cap), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(start_blk, lens, lut_flat, codes_blocked, tcorr_blocked)
+    return out.reshape(b, nprobe * probe_cap)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "nprobe", "probe_cap", "k", "metric", "packed_u4", "rerank_c",
+        "interpret",
+    ),
+)
+def ivf_search_pq_pallas(
+    q: Array,
+    centroids: Array,
+    arrays,  # ops.ivf.IVFListArrays
+    codes: Array,  # [N_pad, m] u8 / [N_pad, m//2] u4, CSR layout
+    tcorr: Array,  # [N_pad] f32 (pq_row_corrections; zeros for IP)
+    books,  # ops.pq.PQCodebooks
+    *,
+    nprobe: int,
+    probe_cap: int,
+    k: int,
+    metric: Metric = Metric.L2,
+    packed_u4: bool = False,
+    rerank_c: int = 0,
+    slot_rows: Optional[Array] = None,  # needed when rerank_c > 0
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """IVF-PQ ADC probed search → (dist [B,k], internal ids [B,k]).
+
+    Drop-in for ops.ivf_pq.ivf_search_pq with the Pallas ADC kernel in the
+    hot seat (+ optional fused exact rerank of the ADC top-C)."""
+    from vectorindex_tpu.ops import pq as pq_ops
+    from vectorindex_tpu.ops.ivf import ivf_select
+
+    b, d = q.shape
+    q = q.astype(jnp.float32)
+    m, ks, _ = books.centroids.shape
+    sel_dist, probe_lists = ivf_select(
+        q, centroids, nprobe=nprobe, metric=metric
+    )
+    if metric == Metric.L2:
+        lut_q = pq_ops.pq_lut_q_l2(q, books)
+        base = sel_dist  # ‖q−c_l‖² from the coarse select
+    elif metric == Metric.INNER_PRODUCT:
+        lut_q = pq_ops.pq_lut_ip(q, books)
+        base = sel_dist  # −⟨q, c_l⟩
+    else:
+        raise ValueError("ivf_search_pq_pallas supports L2 and IP")
+
+    start_rows = arrays.starts[probe_lists]
+    live_rows = arrays.lengths[probe_lists]
+    partial_d = adc_probe_scores(
+        lut_q, start_rows, live_rows, codes, tcorr,
+        nprobe=nprobe, probe_cap=probe_cap, m=m, ks=ks,
+        packed_u4=packed_u4, interpret=interpret,
+    )  # [B, nprobe·cap] (no base term; +inf dead)
+    dist = (
+        partial_d.reshape(b, nprobe, probe_cap) + base[:, :, None]
+    ).reshape(b, nprobe * probe_cap)
+
+    p = dist.shape[1]
+    kk = min(k, p)
+    c = min(max(rerank_c, 4 * kk, 128), p)
+    cd, cp = topk(dist, c, strict_ties=False)
+    probe_of = cp // probe_cap
+    off = cp % probe_cap
+    rows = jnp.take_along_axis(start_rows, probe_of, axis=1) + off
+    rows = jnp.clip(rows, 0, arrays.row_ids.shape[0] - 1)
+    iids = arrays.row_ids[rows]
+    missing = ~jnp.isfinite(cd)
+    iids = jnp.where(missing, INVALID_ID, iids)
+
+    if rerank_c:
+        # exact rerank of the ADC top-C against the original vectors
+        # (reference IVFPostADC.rerankTopKFlat + #40)
+        rrows = jnp.where(missing, 0, rows)
+        xg = arrays.vecs[rrows]
+        sg = arrays.sqnorms[rrows]
+        g = jnp.einsum(
+            "bd,bcd->bc", q.astype(xg.dtype), xg,
+            preferred_element_type=jnp.float32,
+        )
+        if metric == Metric.L2:
+            qn = jnp.sum(jnp.square(q), axis=-1)
+            ex = jnp.maximum(qn[:, None] + sg - 2.0 * g, 0.0)
+        else:
+            ex = -g
+        ex = jnp.where(missing, INVALID_DIST, ex)
+        sd, si = topk(ex, kk, ids=iids, strict_ties=True)
+    else:
+        sd, si = topk(cd, kk, ids=iids, strict_ties=True)
+        if metric == Metric.L2:
+            sd = jnp.where(jnp.isfinite(sd), jnp.maximum(sd, 0.0), sd)
+    if kk < k:
+        padk = k - kk
+        sd = jnp.concatenate(
+            [sd, jnp.full((b, padk), INVALID_DIST, sd.dtype)], axis=1
+        )
+        si = jnp.concatenate(
+            [si, jnp.full((b, padk), INVALID_ID, si.dtype)], axis=1
+        )
+    return sd, si

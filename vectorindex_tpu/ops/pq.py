@@ -362,3 +362,61 @@ def pq_stream_update(state: PQStreamState, chunk: Array) -> PQStreamState:
 def pq_stream_finalize(state: PQStreamState) -> PQCodebooks:
     cents = jnp.stack([km.kmeans_stream_finalize(s) for s in state.states])
     return PQCodebooks(cents, jnp.sum(jnp.square(cents), axis=-1))
+
+
+@jax.jit
+def pq_lut_q_l2(q: Array, books: PQCodebooks) -> Array:
+    """Query-only component of the residual L2 LUT: −2⟨q_j, C_j[k]⟩.
+
+    The faiss-style decomposition of the fused residual LUT (#21):
+      ‖(q−c_l) − r̂‖² = ‖q−c_l‖² + Σ_j(−2⟨q_j, C_j[k_j]⟩)
+                        + Σ_j(2⟨c_{l,j}, C_j[k_j]⟩ + ‖C_j[k_j]‖²)
+    base(q, l) comes from #29's select distances, the middle term is this
+    per-QUERY table (no per-probe LUTs → it fits VMEM for the whole batch),
+    and the last term depends only on the stored row (pq_row_corrections).
+    """
+    return 2.0 * pq_lut_ip(q, books)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def pq_row_corrections(
+    codes: Array,  # [N, m] u8 (UNPACKED)
+    row_list: Array,  # [N] i32 list id per row
+    coarse_centroids: Array,  # [kc, d]
+    books: PQCodebooks,
+    chunk: int = 65536,
+) -> Array:
+    """Per-row constant of the decomposed residual LUT:
+    t[i] = Σ_j (2⟨c_{l(i),j}, C_j[codes_ij]⟩ + ‖C_j[codes_ij]‖²)  → [N] f32.
+    Precomputed once per encode (rides the code cache)."""
+    n, m = codes.shape
+    kc, d = coarse_centroids.shape
+    _, ks, dsub = books.centroids.shape
+    # cdot[l, j, k] = ⟨c_{l,j}, C_j[k]⟩
+    ct = coarse_centroids.reshape(kc, m, dsub).astype(jnp.float32)
+    cdot = jnp.einsum(
+        "lmd,mkd->lmk", ct, books.centroids, preferred_element_type=jnp.float32
+    )  # [kc, m, ks]
+    table = 2.0 * cdot + books.sqnorms[None]  # [kc, m, ks]
+
+    pad = (-n) % chunk
+    codes_p = jnp.concatenate(
+        [codes, jnp.zeros((pad, m), codes.dtype)]
+    ) if pad else codes
+    lists_p = jnp.concatenate(
+        [row_list, jnp.zeros((pad,), row_list.dtype)]
+    ) if pad else row_list
+
+    def chunk_fn(args):
+        cc, ll = args  # [C, m] u8, [C] i32
+        tl = table[ll]  # [C, m, ks]
+        vals = jnp.take_along_axis(
+            tl, cc.astype(jnp.int32)[:, :, None], axis=2
+        )[..., 0]
+        return jnp.sum(vals, axis=1)
+
+    out = jax.lax.map(
+        chunk_fn,
+        (codes_p.reshape(-1, chunk, m), lists_p.reshape(-1, chunk)),
+    )
+    return out.reshape(-1)[:n]
