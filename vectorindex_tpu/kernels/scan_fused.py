@@ -1,0 +1,316 @@
+"""Pallas TPU kernel: fused flat-scan exact top-k (single-kernel hot path).
+
+The rebuild of the reference's flat hot path (FlatIndexOptimized.swift:400-420
+ScoreBlock -> selectTopK) as two fused corpus passes that never materialize
+the [B, N] distance matrix:
+
+  pass 1 (candidates): grid over corpus tiles; per tile one MXU matmul
+      [TB, d] x [d, TILE] -> f32 scores, fused bias epilogue (dot-trick sq
+      norms / tombstone +inf), then *binned running minima*: bin = column mod
+      C, per-bin (dist, id) kept across all tiles in the output block itself
+      (constant index_map keeps it VMEM-resident for the whole grid). This is
+      the PartialReduce trick (lax.approx_min_k) done in-kernel so the matmul
+      and the reduction share one HBM read of the corpus.
+  epilogue (XLA): strict (score, id) two-key top-k over the C bin minima
+      (reference TopK.swift:8-30 contract), tau = k-th distance.
+  pass 2 (verification): same fused matmul, counts entries with dist < tau.
+      Distances are computed by the *same* tiling and op sequence as pass 1,
+      so the comparison is bit-exact: count(all) == count(selected) proves
+      the selection exact; flagged queries are re-run by the caller through
+      the always-exact strict path (ops/scan.scan_topk_strict).
+
+A bin collision (two true top-k entries in the same residue class) makes the
+per-bin min drop one of them -- pass 2 catches exactly this, so end-to-end
+results are exact with probability 1, same contract as ops/scan.py.
+
+Kernel-space distances omit the per-query ||q||^2 term (monotone per query);
+the epilogue adds it back for L2 so public distances match scoring.distance_block.
+
+HBM traffic = 2 corpus reads (vs 4+ for the unfused XLA pipeline that
+materializes [B, N] f32 twice); MXU does 2x the minimum FLOPs -- on v5e both
+passes sit near the compute/bandwidth roofline.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vectorindex_tpu.ops.topk import INVALID_DIST, INVALID_ID, topk
+from vectorindex_tpu.utils.config import Metric
+
+Array = jax.Array
+
+#: corpus rows per grid step (per-tile f32 scores = tb*TILE*4 bytes of VMEM)
+TILE = 4096
+#: max queries per grid block (256q x 4096 tile = 4 MB f32 scores)
+TB_MAX = 256
+#: candidate bins per query (one candidate kept per bin)
+C = 256
+
+
+def _query_block(b: int) -> int:
+    """Pow2 query-block size: small batches don't pad to 256."""
+    return max(8, min(TB_MAX, 1 << (b - 1).bit_length()))
+
+
+def _dist_tile(q_ref, x_ref, bias_ref, cs_ref, metric: Metric):
+    """Fused score tile: one MXU matmul + VPU epilogue -> [TB, TILE] f32
+    kernel-space distances (ascending; +inf for dead/padded slots).
+
+    L2:  bias - 2*(q . x)          bias = ||x||^2 (+inf dead)   [no ||q||^2]
+    IP:  bias - (q . x)            bias = 0 (+inf dead)
+    COS: bias - (q . x)*inv||x||   bias = 0 (+inf dead), q pre-normalized
+    """
+    g = jax.lax.dot_general(
+        q_ref[:].astype(x_ref.dtype),
+        x_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TB, TILE]
+    bias = bias_ref[:]  # [1, TILE]
+    if metric == Metric.L2:
+        return bias - 2.0 * g
+    if metric == Metric.INNER_PRODUCT:
+        return bias - g
+    if metric == Metric.COSINE:
+        return bias - g * cs_ref[:]
+    raise ValueError(f"unsupported metric {metric}")
+
+
+def _candidates_kernel(q_ref, x_ref, bias_ref, *rest, metric: Metric, tb: int):
+    """Per tile: bin minima (bin = column mod C), then merge into a TWO-tier
+    running (dist, id) state held in the output blocks. One tier alone loses
+    a true top-k entry whenever two of them share a residue class (birthday:
+    ~k^2/2C = 18% of queries at k=10); with per-tile pre-reduction + two
+    cross-tile tiers a loss needs three top-k entries in one class (~0.2%),
+    so the strict fallback stays rare. Tiers hold minima of *different*
+    tiles, so their ids never collide."""
+    cs_ref = rest[0] if metric == Metric.COSINE else None
+    d1_ref, i1_ref, d2_ref, i2_ref = rest[-4], rest[-3], rest[-2], rest[-1]
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        d1_ref[:] = jnp.full(d1_ref.shape, INVALID_DIST, jnp.float32)
+        i1_ref[:] = jnp.zeros(i1_ref.shape, jnp.int32)
+        d2_ref[:] = jnp.full(d2_ref.shape, INVALID_DIST, jnp.float32)
+        i2_ref[:] = jnp.zeros(i2_ref.shape, jnp.int32)
+
+    dist = _dist_tile(q_ref, x_ref, bias_ref, cs_ref, metric)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tb, C), 1)
+    base = i * TILE
+    tm = dist[:, :C]
+    ti = lane + base
+    for j in range(1, TILE // C):
+        blk = dist[:, j * C : (j + 1) * C]  # static lane-aligned slice
+        ids = lane + (base + j * C)
+        better = blk < tm
+        tm = jnp.where(better, blk, tm)
+        ti = jnp.where(better, ids, ti)
+    # merge the tile's bin minima into the two running tiers (on [tb, C]
+    # only -- 1/(TILE/C) of the elementwise work above)
+    m1, id1 = d1_ref[:], i1_ref[:]
+    m2, id2 = d2_ref[:], i2_ref[:]
+    b1 = tm < m1
+    b2 = tm < m2
+    d2_ref[:] = jnp.where(b1, m1, jnp.where(b2, tm, m2))
+    i2_ref[:] = jnp.where(b1, id1, jnp.where(b2, ti, id2))
+    d1_ref[:] = jnp.where(b1, tm, m1)
+    i1_ref[:] = jnp.where(b1, ti, id1)
+
+
+def _count_kernel(q_ref, x_ref, bias_ref, *rest, metric: Metric):
+    cs_ref = rest[0] if metric == Metric.COSINE else None
+    thr_ref, out_ref = rest[-2], rest[-1]
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros(out_ref.shape, jnp.int32)
+
+    dist = _dist_tile(q_ref, x_ref, bias_ref, cs_ref, metric)
+    below = (dist < thr_ref[:]).astype(jnp.int32)  # thr [TB, 1] broadcasts
+    out_ref[:] = out_ref[:] + jnp.sum(below, axis=1, keepdims=True)
+
+
+@partial(jax.jit, static_argnames=("metric", "interpret"))
+def _bin_candidates(q, x, bias, colscale, *, metric: Metric, interpret: bool):
+    nq, d = q.shape
+    npad = x.shape[0]
+    tb = _query_block(nq)
+    q_spec = pl.BlockSpec((tb, d), lambda qb, i: (qb, 0), memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((TILE, d), lambda qb, i: (i, 0), memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((1, TILE), lambda qb, i: (0, i), memory_space=pltpu.VMEM)
+    in_specs = [q_spec, x_spec, b_spec]
+    args = [q, x, bias]
+    if metric == Metric.COSINE:
+        in_specs.append(b_spec)
+        args.append(colscale)
+    out_spec = pl.BlockSpec((tb, C), lambda qb, i: (qb, 0), memory_space=pltpu.VMEM)
+    grid_spec = pl.GridSpec(
+        grid=(nq // tb, npad // TILE),
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec, out_spec, out_spec),
+    )
+    return pl.pallas_call(
+        partial(_candidates_kernel, metric=metric, tb=tb),
+        out_shape=(
+            jax.ShapeDtypeStruct((nq, C), jnp.float32),
+            jax.ShapeDtypeStruct((nq, C), jnp.int32),
+            jax.ShapeDtypeStruct((nq, C), jnp.float32),
+            jax.ShapeDtypeStruct((nq, C), jnp.int32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nq * npad * d,
+            bytes_accessed=npad * d * x.dtype.itemsize + nq * d * 4,
+            transcendentals=0,
+        ),
+    )(*args)
+
+
+@partial(jax.jit, static_argnames=("metric", "interpret"))
+def _count_below(q, x, bias, colscale, thresh, *, metric: Metric, interpret: bool):
+    nq, d = q.shape
+    npad = x.shape[0]
+    tb = _query_block(nq)
+    q_spec = pl.BlockSpec((tb, d), lambda qb, i: (qb, 0), memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((TILE, d), lambda qb, i: (i, 0), memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((1, TILE), lambda qb, i: (0, i), memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((tb, 1), lambda qb, i: (qb, 0), memory_space=pltpu.VMEM)
+    in_specs = [q_spec, x_spec, b_spec]
+    args = [q, x, bias]
+    if metric == Metric.COSINE:
+        in_specs.append(b_spec)
+        args.append(colscale)
+    in_specs.append(t_spec)
+    args.append(thresh)
+    out_spec = pl.BlockSpec((tb, 1), lambda qb, i: (qb, 0), memory_space=pltpu.VMEM)
+    grid_spec = pl.GridSpec(
+        grid=(nq // tb, npad // TILE),
+        in_specs=in_specs,
+        out_specs=out_spec,
+    )
+    return pl.pallas_call(
+        partial(_count_kernel, metric=metric),
+        out_shape=jax.ShapeDtypeStruct((nq, 1), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nq * npad * d,
+            bytes_accessed=npad * d * x.dtype.itemsize + nq * d * 4,
+            transcendentals=0,
+        ),
+    )(*args)
+
+
+def pad_corpus(
+    x: Array, sqnorms: Optional[Array], valid: Optional[Array]
+) -> Tuple[Array, Array, Array]:
+    """Pad corpus rows to a TILE multiple and d to a lane multiple; returns
+    (x_pad, sq_pad, valid_pad) with padded rows dead. Host-side, cached by
+    the index alongside its device mirror."""
+    n, d = x.shape
+    rpad = (-n) % TILE
+    cpad = (-d) % 128
+    if sqnorms is None:
+        sqnorms = jnp.einsum(
+            "nd,nd->n", x.astype(jnp.float32), x.astype(jnp.float32)
+        )
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    if rpad or cpad:
+        x = jnp.pad(x, ((0, rpad), (0, cpad)))
+        sqnorms = jnp.pad(sqnorms, (0, rpad))
+        valid = jnp.pad(valid, (0, rpad))
+    return x, sqnorms, valid
+
+
+@partial(jax.jit, static_argnames=("metric", "k", "interpret"))
+def scan_topk_fused(
+    q: Array,  # [B, d] f32
+    x_pad: Array,  # [N_pad, d_pad] storage dtype (pad_corpus output)
+    sq_pad: Array,  # [N_pad] f32
+    valid_pad: Array,  # [N_pad] bool
+    *,
+    metric: Metric,
+    k: int,
+    interpret: bool = False,
+) -> Tuple[Array, Array, Array]:
+    """Exact-verified top-k via the fused kernels. Same contract as
+    ops.scan.scan_topk_verified: (dist [B,k], ids [B,k], exact [B] bool);
+    rows with exact=False must be re-run through scan_topk_strict."""
+    b, d = q.shape
+    dpad = x_pad.shape[1]
+    if dpad != d:
+        q = jnp.pad(q, ((0, 0), (0, dpad - d)))
+    qpad = (-b) % _query_block(b)
+    if qpad:
+        q = jnp.pad(q, ((0, qpad), (0, 0)))
+    q = q.astype(jnp.float32)
+
+    if metric == Metric.L2:
+        bias = jnp.where(valid_pad, sq_pad, INVALID_DIST)[None, :]
+        colscale = None
+        qsq = jnp.sum(q * q, axis=1)
+        qk = q
+    elif metric == Metric.INNER_PRODUCT:
+        bias = jnp.where(valid_pad, 0.0, INVALID_DIST)[None, :]
+        colscale = None
+        qk = q
+    else:  # COSINE: pre-normalize q, scale columns by inv ||x||
+        bias = jnp.where(valid_pad, 0.0, INVALID_DIST)[None, :]
+        colscale = jnp.where(
+            valid_pad & (sq_pad > 0),
+            jax.lax.rsqrt(jnp.maximum(sq_pad, 1e-30)),
+            0.0,
+        )[None, :]
+        qn = jnp.sqrt(jnp.maximum(jnp.sum(q * q, axis=1, keepdims=True), 1e-30))
+        qk = q / qn
+
+    d1, i1, d2, i2 = _bin_candidates(
+        qk, x_pad, bias, colscale, metric=metric, interpret=interpret
+    )
+    cd = jnp.concatenate([d1, d2], axis=1)  # [B, 2C]
+    ci = jnp.concatenate([i1, i2], axis=1)
+    kk = min(k, 2 * C)
+    sd, si = topk(cd, kk, ids=ci, strict_ties=True)
+    tau = sd[:, kk - 1]  # kernel-space; bit-identical to pass-2 distances
+
+    thresh = tau[:, None]
+    counts = _count_below(
+        qk, x_pad, bias, colscale, thresh, metric=metric, interpret=interpret
+    )[:, 0]
+    result_below = jnp.sum((sd < thresh).astype(jnp.int32), axis=-1)
+    n_valid = jnp.sum(valid_pad.astype(jnp.int32))
+    exact = jnp.where(jnp.isfinite(tau), counts == result_below, n_valid <= kk)
+
+    # kernel-space -> public ascending distances
+    if metric == Metric.L2:
+        sd = jnp.where(jnp.isfinite(sd), jnp.maximum(sd + qsq[:, None], 0.0), sd)
+    elif metric == Metric.COSINE:
+        sd = 1.0 + sd
+    si = jnp.where(jnp.isfinite(sd), si, INVALID_ID)
+    if qpad:
+        sd, si, exact = sd[:b], si[:b], exact[:b]
+    if k > kk:  # degenerate k > C
+        sd = jnp.concatenate(
+            [sd, jnp.full((b, k - kk), INVALID_DIST, sd.dtype)], axis=1
+        )
+        si = jnp.concatenate(
+            [si, jnp.full((b, k - kk), INVALID_ID, si.dtype)], axis=1
+        )
+    return sd, si, exact

@@ -68,6 +68,20 @@ def _next_pow2(n: int) -> int:
 LARGE_SCAN_THRESHOLD = 1 << 17
 
 
+def _use_pallas_scan() -> bool:
+    """Large-scan backend switch: the fused Pallas kernel (kernels/scan_fused)
+    on TPU, the XLA verified pipeline elsewhere. Env toggles mirror the
+    reference's runtime C-backend switch (VECTORINDEX_DISABLE_C_PQ,
+    PQEncode+CBackend.swift)."""
+    import os
+
+    if os.environ.get("VECTORINDEX_TPU_DISABLE_PALLAS_SCAN"):
+        return False
+    if os.environ.get("VECTORINDEX_TPU_FORCE_PALLAS_SCAN"):
+        return True  # tests: runs in interpret mode off-TPU
+    return jax.default_backend() == "tpu"
+
+
 class FlatIndex(VectorIndex):
     """Exact index over a contiguous device array."""
 
@@ -99,6 +113,8 @@ class FlatIndex(VectorIndex):
         self._next_slot = 0
         # device cache (data plane), rebuilt lazily after mutation
         self._dev = None
+        # fused-scan padded view, keyed on the _dev tuple's identity
+        self._dev_fused = None
 
     # ------------------------------------------------------------------
     # storage management
@@ -150,6 +166,18 @@ class FlatIndex(VectorIndex):
             inv = jnp.where(sqn > 0, jax.lax.rsqrt(jnp.maximum(sqn, 1e-30)), 0.0)
             self._dev = (vecs, sqn, inv, jnp.asarray(self._valid))
         return self._dev
+
+    def _sync_device_fused(self):
+        """Padded corpus view for the fused Pallas scan (kernels/scan_fused):
+        rows to a TILE multiple, d to a lane multiple, padded rows dead.
+        Rebuilt only when the base device mirror is (identity check)."""
+        from vectorindex_tpu.kernels.scan_fused import pad_corpus
+
+        dev = self._sync_device()
+        if self._dev_fused is None or self._dev_fused[0] is not dev:
+            vecs, sqn, _, valid = dev
+            self._dev_fused = (dev, pad_corpus(vecs, sqn, valid))
+        return self._dev_fused[1]
 
     # ------------------------------------------------------------------
     # CRUD
@@ -271,11 +299,35 @@ class FlatIndex(VectorIndex):
         kk = min(k, self.capacity)
         qj = jnp.asarray(q)
         stats = QueryStats(batch=q.shape[0], rows_scored=q.shape[0] * self.count)
+        fused_ok = self.metric in (
+            Metric.L2,
+            Metric.INNER_PRODUCT,
+            Metric.COSINE,
+        ) and _use_pallas_scan()
         if self.capacity >= LARGE_SCAN_THRESHOLD:
             with TELEM.timer("score_flat", stats):
-                dist, ids, exact = scan_topk_verified(
-                    qj, vecs, sqn, inv, valid, metric=self.metric, k=kk
-                )
+                if fused_ok:
+                    from vectorindex_tpu.kernels.scan_fused import scan_topk_fused
+
+                    x_pad, sq_pad, valid_pad = self._sync_device_fused()
+                    if filter is not None:
+                        vmask = np.asarray(self._filter_valid(filter))
+                        valid_pad = jnp.asarray(
+                            np.pad(vmask, (0, x_pad.shape[0] - vmask.shape[0]))
+                        )
+                    dist, ids, exact = scan_topk_fused(
+                        qj,
+                        x_pad,
+                        sq_pad,
+                        valid_pad,
+                        metric=self.metric,
+                        k=kk,
+                        interpret=jax.default_backend() != "tpu",
+                    )
+                else:
+                    dist, ids, exact = scan_topk_verified(
+                        qj, vecs, sqn, inv, valid, metric=self.metric, k=kk
+                    )
                 exact = np.asarray(exact)
             if not exact.all():
                 # rare PartialReduce miss: rerun only the flagged queries
