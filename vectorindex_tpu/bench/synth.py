@@ -1,0 +1,184 @@
+"""Bulk builders for benchmark-scale index state.
+
+The model classes build storage through per-row host paths (insert_batch /
+ingest_flat), which is the durability-friendly route but needlessly slow for
+constructing multi-million-row benchmark corpora. These helpers produce the
+same device-side structures (ops.ivf.IVFListArrays CSR layout; PQ code/
+correction arrays in packed row order) with vectorized numpy, so bench.py
+and the capacity-crossover scripts can stand up a 1M-10M index in seconds.
+
+Layout contract matches ops.ivf.IVFListStore._repack: rows sorted by list,
+per-list reserved regions whole multiples of 256 rows (kernels/ivf_probe BLK)
+so block DMA never crosses a list boundary, dead rows row_id=-1.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vectorindex_tpu.ops.ivf import IVFListArrays
+
+BLK = 256  # kernels/ivf_probe.BLK
+
+
+def clustered_corpus(
+    n: int,
+    d: int,
+    nlist: int,
+    seed: int = 42,
+    spread: float = 0.15,
+    normalized: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Clustered corpus with its true structure exposed:
+    (x [n,d], centers [nlist,d], assign [n] i32). Centers are recomputed as
+    member means after normalization, i.e. the k-means-optimal centroids for
+    the returned data — the 'trained quantizer' operating point without
+    paying a k-means run per bench invocation (bench/datagen.generate_clustered
+    keeps the single-array API for callers that don't need the structure)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((nlist, d)).astype(np.float32)
+    assign = rng.integers(0, nlist, n).astype(np.int32)
+    x = centers[assign] + spread * rng.standard_normal((n, d)).astype(np.float32)
+    if normalized:
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    # member means (vectorized segment mean)
+    sums = np.zeros((nlist, d), np.float64)
+    np.add.at(sums, assign, x)
+    counts = np.maximum(np.bincount(assign, minlength=nlist), 1)
+    centers = (sums / counts[:, None]).astype(np.float32)
+    return x.astype(np.float32), centers, assign
+
+
+def pack_ivf(
+    x: np.ndarray,
+    assign: np.ndarray,
+    nlist: int,
+    storage_dtype=jnp.bfloat16,
+) -> Tuple[IVFListArrays, np.ndarray, int]:
+    """Pack (x, assignments) into the CSR device layout.
+
+    Returns (arrays, order, probe_cap): `order` maps packed row -> original
+    index (row_ids[row] == order[row]); probe_cap is the static per-list row
+    budget for the Pallas probe kernels (256-multiple >= the longest list)."""
+    n = x.shape[0]
+    lengths = np.bincount(assign, minlength=nlist).astype(np.int32)
+    caps = (np.ceil(np.maximum(lengths, 1) / BLK).astype(np.int64)) * BLK
+    starts = np.concatenate([[0], np.cumsum(caps)[:-1]]).astype(np.int32)
+    total = int(caps.sum())
+    order = np.argsort(assign, kind="stable").astype(np.int32)
+    rows = starts[assign[order]] + (
+        np.arange(n, dtype=np.int32)
+        - np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int32)[
+            assign[order]
+        ]
+    )
+    vecs = np.zeros((total, x.shape[1]), np.float32)
+    vecs[rows] = x[order]
+    row_ids = np.full(total, -1, np.int32)
+    row_ids[rows] = order
+    sqn = np.einsum("nd,nd->n", vecs, vecs, dtype=np.float32)
+    arrays = IVFListArrays(
+        vecs=jnp.asarray(vecs, dtype=storage_dtype),
+        row_ids=jnp.asarray(row_ids),
+        sqnorms=jnp.asarray(sqn),
+        starts=jnp.asarray(starts),
+        lengths=jnp.asarray(lengths),
+    )
+    probe_cap = int(np.ceil(max(int(lengths.max()), 1) / BLK)) * BLK
+    return arrays, order, probe_cap
+
+
+def pq_csr_state(
+    x: np.ndarray,
+    assign: np.ndarray,
+    centers: np.ndarray,
+    arrays: IVFListArrays,
+    order: np.ndarray,
+    *,
+    m: int,
+    ks: int = 256,
+    iters: int = 12,
+    train_sample: int = 131072,
+    seed: int = 7,
+):
+    """Residual-PQ state in packed row order:
+    (books, codes [N_pad, m] u8, tcorr [N_pad] f32). Dead rows are zeros
+    (masked by list lengths in the probe kernel)."""
+    from vectorindex_tpu.ops import pq as pq_ops
+
+    n = x.shape[0]
+    rng = np.random.default_rng(seed)
+    samp = rng.choice(n, min(train_sample, n), replace=False)
+    key = jax.random.key(seed)
+    books = pq_ops.pq_train_residual(
+        key,
+        jnp.asarray(x[samp]),
+        jnp.asarray(centers),
+        jnp.asarray(assign[samp]),
+        m=m,
+        ks=ks,
+        iters=iters,
+    )
+    # encode in packed row order
+    row_list = np.repeat(
+        np.arange(len(np.asarray(arrays.starts)), dtype=np.int32),
+        np.asarray(arrays.lengths),
+    )
+    live_rows = np.flatnonzero(np.asarray(arrays.row_ids) >= 0).astype(np.int32)
+    res = pq_ops.residuals(
+        jnp.asarray(x[order]), jnp.asarray(centers), jnp.asarray(assign[order])
+    )
+    codes_live = np.asarray(pq_ops.pq_encode(res, books))
+    tcorr_live = np.asarray(
+        pq_ops.pq_row_corrections(
+            jnp.asarray(codes_live), jnp.asarray(row_list), jnp.asarray(centers), books
+        )
+    )
+    total = int(np.asarray(arrays.row_ids).shape[0])
+    codes = np.zeros((total, m), np.uint8)
+    codes[live_rows] = codes_live
+    tcorr = np.zeros(total, np.float32)
+    tcorr[live_rows] = tcorr_live
+    return books, jnp.asarray(codes), jnp.asarray(tcorr)
+
+
+def exact_truth(
+    q: np.ndarray, x: np.ndarray, k: int, batch: int = 64
+) -> np.ndarray:
+    """f32-HIGHEST brute-force top-k ids (ground truth for recall)."""
+    xj = jnp.asarray(x)
+    out = []
+    for s in range(0, q.shape[0], batch):
+        qj = jnp.asarray(q[s : s + batch])
+        dist = (
+            jnp.sum(qj**2, 1)[:, None]
+            + jnp.sum(xj**2, 1)[None, :]
+            - 2.0
+            * jax.lax.dot_general(
+                qj,
+                xj,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )
+        _, ids = jax.lax.top_k(-dist, k)
+        out.append(np.asarray(ids))
+    return np.concatenate(out, axis=0)
+
+
+def recall_at_k(found_ids: np.ndarray, truth_ids: np.ndarray) -> float:
+    """Mean |found ∩ truth| / k over queries; found may contain -1/INVALID."""
+    k = truth_ids.shape[1]
+    return float(
+        np.mean(
+            [
+                len(set(found_ids[i].tolist()) & set(truth_ids[i].tolist())) / k
+                for i in range(truth_ids.shape[0])
+            ]
+        )
+    )

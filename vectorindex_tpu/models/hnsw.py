@@ -69,7 +69,11 @@ class HNSWConfig:
     ef_search: int = 64
     seed: int = 0xDEADBEEFCAFEBABE
     stream: int = 0
-    build_chunk: int = 128  # nodes inserted per batched construction step
+    build_chunk: int = 1024  # nodes inserted per batched construction step
+    # construction beam relaxation: expand 4 beam slots per device iteration
+    # (total expansions ≈ ef either way; the device loop is latency-bound so
+    # iteration count, not expansion count, sets build wall-clock)
+    build_expand: int = 4
 
 
 class _Level:
@@ -459,9 +463,10 @@ class HNSWIndex(VectorIndex):
 
         # level-0 candidates via batched beam
         nbrs0, lookup0 = self._sync_layer_device(0)
-        ef, iters = self._beam_params(cfg.ef_construction)
+        ef, iters = self._beam_params(cfg.ef_construction, expand=cfg.build_expand)
         beam = gops.beam_search(
-            q, gv, sqn, nbrs0, lookup0, entry, ef=ef, iters=iters
+            q, gv, sqn, nbrs0, lookup0, entry, ef=ef, iters=iters,
+            expand=cfg.build_expand,
         )
         # chunk-internal candidates: batched insertion means chunk members
         # aren't in the graph yet — add each member's within-chunk nearest
@@ -471,11 +476,14 @@ class HNSWIndex(VectorIndex):
         int_ids = np.full((bpad, cfg.m), INVALID_ID, dtype=np.int32)
         int_d = np.full((bpad, cfg.m), np.inf, dtype=np.float32)
         if b > 1:
+            qn = np.einsum("nd,nd->n", xc, xc)
             if self.metric == Metric.INNER_PRODUCT:
-                qn = np.einsum("nd,nd->n", xc, xc)
                 dcc = (qn[:, None] + self._r2 - 2.0 * (xc @ xc.T)).astype(np.float32)
             else:
-                dcc = ((xc[:, None, :] - xc[None, :, :]) ** 2).sum(-1).astype(np.float32)
+                # dot-trick: the [b, b, d] diff tensor is 400 MB at chunk 1024
+                dcc = np.maximum(
+                    qn[:, None] + qn[None, :] - 2.0 * (xc @ xc.T), 0.0
+                ).astype(np.float32)
             np.fill_diagonal(dcc, np.inf)
             n_int = min(cfg.m, b - 1)
             order = np.argsort(dcc, axis=1)[:, :n_int]
@@ -548,7 +556,7 @@ class HNSWIndex(VectorIndex):
 
         self._invalidate_layer(0)
         nbrs0, lookup0 = self._sync_layer_device(0)
-        ef, iters = self._beam_params(cfg.ef_construction)
+        ef, iters = self._beam_params(cfg.ef_construction, expand=cfg.build_expand)
         new_nbrs = np.full_like(old_nbrs, -1)
         c = cfg.build_chunk
         # fixed shapes across refine batches: pad the last batch to c and
@@ -566,7 +574,8 @@ class HNSWIndex(VectorIndex):
             q = jnp.asarray(self._graph_vecs[bs_pad])
             entry = jnp.full((c,), self._entry, dtype=jnp.int32)
             beam = gops.beam_search(
-                q, gv, sqn, nbrs0, lookup0, entry, ef=ef, iters=iters
+                q, gv, sqn, nbrs0, lookup0, entry, ef=ef, iters=iters,
+                expand=cfg.build_expand,
             )
             bd = np.asarray(beam.dists)
             bi = np.asarray(beam.ids)
@@ -580,14 +589,18 @@ class HNSWIndex(VectorIndex):
                 e = sorted(merged)[:ex_width]
                 ex[j, : len(e)] = e
             ex_safe = np.where(ex != INVALID_ID, ex, 0)
-            exd_rows = np.stack(
-                [
-                    self._host_dist_from(
-                        self._graph_vecs[bs_pad[j]], self._graph_vecs[ex_safe[j]]
-                    )
-                    for j in range(c)
-                ]
-            )
+            # batched ex-candidate distances (dot-trick; one BLAS call per
+            # batch instead of a python loop over rows)
+            xb = self._graph_vecs[bs_pad]  # [c, d]
+            xe = self._graph_vecs[ex_safe]  # [c, ex_width, d]
+            g = np.einsum("cd,ced->ce", xb, xe)
+            if self.metric == Metric.INNER_PRODUCT:
+                bn = np.einsum("cd,cd->c", xb, xb)
+                exd_rows = bn[:, None] + self._r2 - 2.0 * g
+            else:
+                bn = np.einsum("cd,cd->c", xb, xb)
+                en = np.einsum("ced,ced->ce", xe, xe)
+                exd_rows = np.maximum(bn[:, None] + en - 2.0 * g, 0.0)
             exd = np.where(ex != INVALID_ID, exd_rows, np.inf).astype(np.float32)
             all_d = jnp.concatenate([jnp.asarray(bd), jnp.asarray(exd)], axis=1)
             all_i = jnp.concatenate([jnp.asarray(bi), jnp.asarray(ex)], axis=1)
