@@ -7,7 +7,8 @@ the [B, N] distance matrix:
   pass 1 (candidates): grid over corpus tiles; per tile one MXU matmul
       [TB, d] x [d, TILE] -> f32 scores, fused bias epilogue (dot-trick sq
       norms / tombstone +inf), then *binned running minima*: bin = column mod
-      C, per-bin (dist, id) kept across all tiles in the output block itself
+      C, the two best (dist, id) per bin per tile merged into three cross-
+      tile tiers kept in the output blocks themselves
       (constant index_map keeps it VMEM-resident for the whole grid). This is
       the PartialReduce trick (lax.approx_min_k) done in-kernel so the matmul
       and the reduction share one HBM read of the corpus.
@@ -84,45 +85,64 @@ def _dist_tile(q_ref, x_ref, bias_ref, cs_ref, metric: Metric):
 
 
 def _candidates_kernel(q_ref, x_ref, bias_ref, *rest, metric: Metric, tb: int):
-    """Per tile: bin minima (bin = column mod C), then merge into a TWO-tier
-    running (dist, id) state held in the output blocks. One tier alone loses
-    a true top-k entry whenever two of them share a residue class (birthday:
-    ~k^2/2C = 18% of queries at k=10); with per-tile pre-reduction + two
-    cross-tile tiers a loss needs three top-k entries in one class (~0.2%),
-    so the strict fallback stays rare. Tiers hold minima of *different*
-    tiles, so their ids never collide."""
+    """Per tile: the TWO smallest (dist, id) per residue class (bin = column
+    mod C), merged into a THREE-tier running state held in the output blocks.
+
+    Loss analysis (k=10, C=256): a single per-tile min drops a true top-k
+    entry whenever two of them share a class AND a tile (~0.07%/query at 1M
+    rows); a single cross-tile tier whenever two share a class (~18%). Two
+    in-tile minima + three global tiers require FOUR top-k entries in one
+    residue class (~1e-5), so the strict fallback is vanishingly rare and
+    its amortized cost disappears from the effective latency. Tier entries
+    originate from distinct (tile, class, rank) slots, so ids never collide."""
     cs_ref = rest[0] if metric == Metric.COSINE else None
-    d1_ref, i1_ref, d2_ref, i2_ref = rest[-4], rest[-3], rest[-2], rest[-1]
+    d1_ref, i1_ref, d2_ref, i2_ref, d3_ref, i3_ref = rest[-6:]
     i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
-        d1_ref[:] = jnp.full(d1_ref.shape, INVALID_DIST, jnp.float32)
-        i1_ref[:] = jnp.zeros(i1_ref.shape, jnp.int32)
-        d2_ref[:] = jnp.full(d2_ref.shape, INVALID_DIST, jnp.float32)
-        i2_ref[:] = jnp.zeros(i2_ref.shape, jnp.int32)
+        for dref, iref in ((d1_ref, i1_ref), (d2_ref, i2_ref), (d3_ref, i3_ref)):
+            dref[:] = jnp.full(dref.shape, INVALID_DIST, jnp.float32)
+            iref[:] = jnp.zeros(iref.shape, jnp.int32)
 
     dist = _dist_tile(q_ref, x_ref, bias_ref, cs_ref, metric)
     lane = jax.lax.broadcasted_iota(jnp.int32, (tb, C), 1)
     base = i * TILE
-    tm = dist[:, :C]
-    ti = lane + base
+    # two smallest per class within the tile (exact sorted-2 insertion)
+    tm1 = dist[:, :C]
+    ti1 = lane + base
+    tm2 = jnp.full((tb, C), INVALID_DIST, jnp.float32)
+    ti2 = jnp.zeros((tb, C), jnp.int32)
     for j in range(1, TILE // C):
         blk = dist[:, j * C : (j + 1) * C]  # static lane-aligned slice
         ids = lane + (base + j * C)
-        better = blk < tm
-        tm = jnp.where(better, blk, tm)
-        ti = jnp.where(better, ids, ti)
-    # merge the tile's bin minima into the two running tiers (on [tb, C]
-    # only -- 1/(TILE/C) of the elementwise work above)
+        b1 = blk < tm1
+        b2 = blk < tm2
+        tm2 = jnp.where(b1, tm1, jnp.where(b2, blk, tm2))
+        ti2 = jnp.where(b1, ti1, jnp.where(b2, ids, ti2))
+        tm1 = jnp.where(b1, blk, tm1)
+        ti1 = jnp.where(b1, ids, ti1)
+    # merge both tile minima into the three running tiers (invariant
+    # m1 <= m2 <= m3 per class; insertion shifts the chain)
     m1, id1 = d1_ref[:], i1_ref[:]
     m2, id2 = d2_ref[:], i2_ref[:]
-    b1 = tm < m1
-    b2 = tm < m2
-    d2_ref[:] = jnp.where(b1, m1, jnp.where(b2, tm, m2))
-    i2_ref[:] = jnp.where(b1, id1, jnp.where(b2, ti, id2))
-    d1_ref[:] = jnp.where(b1, tm, m1)
-    i1_ref[:] = jnp.where(b1, ti, id1)
+    m3, id3 = d3_ref[:], i3_ref[:]
+    for v, w in ((tm1, ti1), (tm2, ti2)):
+        c1 = v < m1
+        c2 = v < m2
+        c3 = v < m3
+        m3, id3 = (
+            jnp.where(c2, m2, jnp.where(c3, v, m3)),
+            jnp.where(c2, id2, jnp.where(c3, w, id3)),
+        )
+        m2, id2 = (
+            jnp.where(c1, m1, jnp.where(c2, v, m2)),
+            jnp.where(c1, id1, jnp.where(c2, w, id2)),
+        )
+        m1, id1 = jnp.where(c1, v, m1), jnp.where(c1, w, id1)
+    d1_ref[:], i1_ref[:] = m1, id1
+    d2_ref[:], i2_ref[:] = m2, id2
+    d3_ref[:], i3_ref[:] = m3, id3
 
 
 def _count_kernel(q_ref, x_ref, bias_ref, *rest, metric: Metric):
@@ -156,11 +176,13 @@ def _bin_candidates(q, x, bias, colscale, *, metric: Metric, interpret: bool):
     grid_spec = pl.GridSpec(
         grid=(nq // tb, npad // TILE),
         in_specs=in_specs,
-        out_specs=(out_spec, out_spec, out_spec, out_spec),
+        out_specs=(out_spec,) * 6,
     )
     return pl.pallas_call(
         partial(_candidates_kernel, metric=metric, tb=tb),
         out_shape=(
+            jax.ShapeDtypeStruct((nq, C), jnp.float32),
+            jax.ShapeDtypeStruct((nq, C), jnp.int32),
             jax.ShapeDtypeStruct((nq, C), jnp.float32),
             jax.ShapeDtypeStruct((nq, C), jnp.int32),
             jax.ShapeDtypeStruct((nq, C), jnp.float32),
@@ -281,11 +303,11 @@ def scan_topk_fused(
         qn = jnp.sqrt(jnp.maximum(jnp.sum(q * q, axis=1, keepdims=True), 1e-30))
         qk = q / qn
 
-    d1, i1, d2, i2 = _bin_candidates(
+    d1, i1, d2, i2, d3, i3 = _bin_candidates(
         qk, x_pad, bias, colscale, metric=metric, interpret=interpret
     )
-    cd = jnp.concatenate([d1, d2], axis=1)  # [B, 2C]
-    ci = jnp.concatenate([i1, i2], axis=1)
+    cd = jnp.concatenate([d1, d2, d3], axis=1)  # [B, 3C]
+    ci = jnp.concatenate([i1, i2, i3], axis=1)
     kk = min(k, 2 * C)
     sd, si = topk(cd, kk, ids=ci, strict_ties=True)
     tau = sd[:, kk - 1]  # kernel-space; bit-identical to pass-2 distances
