@@ -146,6 +146,7 @@ class HNSWIndex(VectorIndex):
         self._dev = None  # (vecs, sqn) device mirror
         self._dev_layers = None  # list of (nbrs_dev, lookup_dev)
         self._dirty_rows0: set[int] = set()  # level-0 rows to patch on device
+        self._dirty_lookup0: set[int] = set()  # slots whose L0 row changed
 
     # ------------------------------------------------------------------
     # storage
@@ -327,7 +328,22 @@ class HNSWIndex(VectorIndex):
                     nbrs_dev = nbrs_dev.at[jnp.asarray(rows)].set(
                         jnp.asarray(layer.nbrs[rows])
                     )
-                lookup_dev = jnp.asarray(self._lookup0)
+                if self._dirty_lookup0:
+                    # incremental lookup patch: only freshly-registered slots
+                    # change (a full [cap] re-upload per chunk is 4 MB at 1M)
+                    ls = np.fromiter(self._dirty_lookup0, dtype=np.int32)
+                    if (ls < lookup_dev.shape[0]).all():
+                        target = 1 << (int(ls.size) - 1).bit_length()
+                        if target > ls.size:
+                            ls = np.concatenate(
+                                [ls, np.full(target - ls.size, ls[0], np.int32)]
+                            )
+                        lookup_dev = lookup_dev.at[jnp.asarray(ls)].set(
+                            jnp.asarray(self._lookup0[ls])
+                        )
+                    else:
+                        lookup_dev = jnp.asarray(self._lookup0)
+                    self._dirty_lookup0.clear()
                 self._dev_layers[0] = (nbrs_dev, lookup_dev)
                 self._dirty_rows0.clear()
                 return self._dev_layers[0]
@@ -336,6 +352,7 @@ class HNSWIndex(VectorIndex):
             layer = self._layers[l]
             if l == 0:
                 self._dirty_rows0.clear()  # full sync supersedes patches
+                self._dirty_lookup0.clear()
             # full pow2-capacity backing array → stable shapes across chunks
             # (slicing to layer.count recompiled every chunk: minutes per
             # program on remote-compile platforms)
@@ -499,37 +516,36 @@ class HNSWIndex(VectorIndex):
 
         # register all chunk rows first so intra-chunk reverse edges resolve
         layer0 = self._layers[0]
+        slots_arr = np.asarray(slots, dtype=np.int64)
         for j, slot in enumerate(slots):
             self._levels[slot] = chunk_levels[j]
             row = layer0.add_node(slot)
             self._lookup0[slot] = row
+            self._dirty_lookup0.add(int(slot))
 
-        # connect at level 0 (host authoritative; device gets row patches)
-        for j, slot in enumerate(slots):
-            row = self._lookup0[slot]
-            sel_rows = [int(s) for s in selected[j] if s != INVALID_ID]
-            nb = layer0.nbrs
-            nb[row, : len(sel_rows)] = sel_rows
-            self._dirty_rows0.add(int(row))
-            for s in sel_rows:
-                srow = self._lookup0[s]
-                lst = nb[srow]
-                free = np.nonzero(lst < 0)[0]
-                if len(free):
-                    lst[free[0]] = slot
-                else:
-                    # overflow: prune by diversity (host mini-version)
-                    cand = np.concatenate([lst, [slot]])
-                    nb[srow] = self._prune_host(s, cand)[: layer0.max_degree]
-                self._dirty_rows0.add(int(srow))
+        # connect at level 0: forward edges as one block write, reverse
+        # edges through the grouped append (host authoritative; device gets
+        # row patches)
+        rows_new = self._lookup0[slots_arr]
+        sel_np = np.where(selected == INVALID_ID, -1, selected).astype(np.int32)
+        layer0.nbrs[rows_new, : sel_np.shape[1]] = sel_np
+        self._dirty_rows0.update(int(r) for r in rows_new)
+        src = np.repeat(slots_arr, sel_np.shape[1]).astype(np.int32)
+        dst = sel_np.ravel()
+        live = dst >= 0
+        self._append_reverse_edges(0, dst[live], src[live])
 
-        # upper-level insertion (few nodes; host-side with numpy distances)
+        # upper-level insertion, batched per (chunk, level)
+        lvl_arr = np.asarray(chunk_levels, dtype=np.int32)
+        top = int(lvl_arr.max()) if len(lvl_arr) else -1
+        for l in range(1, top + 1):
+            self._ensure_layer(l)
+            members = slots_arr[lvl_arr >= l]
+            if members.size:
+                self._insert_upper_batch(members.astype(np.int64), l)
+                self._invalidate_layer(l)
         for j, slot in enumerate(slots):
             lvl = chunk_levels[j]
-            for l in range(1, lvl + 1):
-                self._ensure_layer(l)
-                self._insert_upper_host(slot, l)
-                self._invalidate_layer(l)
             if lvl > max_level and lvl >= 0:
                 self._entry = slot  # entry promotion (reference :507-510)
                 max_level = lvl
@@ -546,13 +562,26 @@ class HNSWIndex(VectorIndex):
         gv, sqn = self._sync_vec_device()
         slots_all = np.asarray(layer0.node_ids, dtype=np.int64)
         old_nbrs = layer0.nbrs[:n].copy()
-        # reverse adjacency (host)
-        rev: list[list[int]] = [[] for _ in range(self.capacity)]
-        for r in range(n):
-            src = layer0.node_ids[r]
-            for v in old_nbrs[r]:
-                if v >= 0:
-                    rev[v].append(src)
+        deg0 = layer0.max_degree
+        # reverse adjacency as a padded per-row matrix (grouped, vectorized)
+        rev_cap = 3 * deg0
+        rev_pad = np.full((n, rev_cap), INVALID_ID, dtype=np.int32)
+        srcs = np.repeat(slots_all.astype(np.int32), deg0)
+        tgts = old_nbrs.ravel()
+        live_e = tgts >= 0
+        srcs, tgts = srcs[live_e], tgts[live_e]
+        trows = self._lookup0[tgts]
+        live_e = trows >= 0
+        srcs, trows = srcs[live_e], trows[live_e]
+        if trows.size:
+            order_e = np.argsort(trows, kind="stable")
+            trows_s, srcs_s = trows[order_e], srcs[order_e]
+            ur, ustart, ucnt = np.unique(
+                trows_s, return_index=True, return_counts=True
+            )
+            pos = np.arange(trows_s.size) - np.repeat(ustart, ucnt)
+            keep_e = pos < rev_cap
+            rev_pad[trows_s[keep_e], pos[keep_e]] = srcs_s[keep_e]
 
         self._invalidate_layer(0)
         nbrs0, lookup0 = self._sync_layer_device(0)
@@ -579,15 +608,25 @@ class HNSWIndex(VectorIndex):
             )
             bd = np.asarray(beam.dists)
             bi = np.asarray(beam.ids)
-            # merge old out/in edges into the candidate pool (fixed width)
-            ex = np.full((c, ex_width), INVALID_ID, dtype=np.int32)
-            for j in range(b):
-                s = bs_pad[j]
-                row = self._lookup0[s]
-                merged = set(int(v) for v in old_nbrs[row] if v >= 0) | set(rev[s])
-                merged.discard(int(s))
-                e = sorted(merged)[:ex_width]
-                ex[j, : len(e)] = e
+            # merge old out/in edges into the candidate pool (fixed width,
+            # vectorized: sort ids ascending with INVALID last, mask dups
+            # and self — same result as the per-row sorted-set merge)
+            rows_b = self._lookup0[bs_pad]
+            ex_raw = np.concatenate(
+                [
+                    np.where(old_nbrs[rows_b] >= 0, old_nbrs[rows_b], INVALID_ID),
+                    rev_pad[rows_b],
+                ],
+                axis=1,
+            ).astype(np.int64)
+            big = np.int64(2**62)
+            ex_sorted = np.sort(np.where(ex_raw == INVALID_ID, big, ex_raw), axis=1)
+            dup = np.zeros_like(ex_sorted, dtype=bool)
+            dup[:, 1:] = ex_sorted[:, 1:] == ex_sorted[:, :-1]
+            kill_e = dup | (ex_sorted >= big) | (ex_sorted == bs_pad[:, None])
+            ex_sorted = np.where(kill_e, big, ex_sorted)
+            ex_sorted = np.sort(ex_sorted, axis=1)[:, :ex_width]
+            ex = np.where(ex_sorted >= big, INVALID_ID, ex_sorted).astype(np.int32)
             ex_safe = np.where(ex != INVALID_ID, ex, 0)
             # batched ex-candidate distances (dot-trick; one BLAS call per
             # batch instead of a python loop over rows)
@@ -627,24 +666,12 @@ class HNSWIndex(VectorIndex):
                 new_nbrs[row, : len(picks)] = picks
 
         layer0.nbrs[:n] = new_nbrs
-        # symmetrize: ensure each out-edge has a reverse edge (append or prune)
-        for r in range(n):
-            src = layer0.node_ids[r]
-            for v in new_nbrs[r]:
-                if v < 0:
-                    continue
-                vrow = self._lookup0[v]
-                lst = layer0.nbrs[vrow]
-                if src in lst:
-                    continue
-                free = np.nonzero(lst < 0)[0]
-                if len(free):
-                    lst[free[0]] = src
-                else:
-                    cand = np.concatenate([lst, [src]])
-                    layer0.nbrs[vrow] = self._prune_host(int(v), cand)[
-                        : layer0.max_degree
-                    ]
+        # symmetrize: ensure each out-edge has a reverse edge (grouped
+        # append; overflowed targets batch-pruned)
+        sym_src = np.repeat(slots_all.astype(np.int32), new_nbrs.shape[1])
+        sym_dst = new_nbrs.ravel()
+        sym_live = sym_dst >= 0
+        self._append_reverse_edges(0, sym_dst[sym_live], sym_src[sym_live])
         self._invalidate_layer(0)
 
     def _repair_orphans(self) -> None:
@@ -660,10 +687,21 @@ class HNSWIndex(VectorIndex):
         if not orphans:
             return
         slots_all = np.asarray(layer0.node_ids, dtype=np.int64)
-        for u in orphans:
-            d = self._host_dist_from(self._graph_vecs[u], self._graph_vecs[slots_all])
-            d[slots_all == u] = np.inf
-            v = int(slots_all[np.argmin(d)])
+        orph = np.asarray(orphans, dtype=np.int64)
+        # one BLAS block for every orphan's nearest live node
+        base = self._graph_vecs[orph]  # [O, d]
+        others = self._graph_vecs[slots_all]  # [n, d]
+        gmat = base @ others.T
+        if self.metric == Metric.INNER_PRODUCT:
+            bn = np.einsum("od,od->o", base, base)
+            d = bn[:, None] + self._r2 - 2.0 * gmat
+        else:
+            bn = np.einsum("od,od->o", base, base)
+            on = np.einsum("nd,nd->n", others, others)
+            d = bn[:, None] + on[None, :] - 2.0 * gmat
+        d[orph[:, None] == slots_all[None, :]] = np.inf
+        nearest = slots_all[np.argmin(d, axis=1)]
+        for u, v in zip(orph, nearest):
             vrow = self._lookup0[v]
             lst = layer0.nbrs[vrow]
             free = np.nonzero(lst < 0)[0]
@@ -671,11 +709,129 @@ class HNSWIndex(VectorIndex):
                 lst[free[0]] = u
             else:
                 lst[-1] = u  # force the link; connectivity beats diversity
+            self._dirty_rows0.add(int(vrow))
         self._invalidate_layer(0)
 
     def _ensure_layer(self, l: int) -> None:
         while len(self._layers) <= l:
             self._layers.append(_Level(self.config.m))
+
+    # ------------------------------------------------------------------
+    # vectorized edge machinery (the 1M-build enablers: per-edge python
+    # loops became grouped numpy ops + one pow2-bucketed device prune)
+    # ------------------------------------------------------------------
+
+    def _row_lookup(self, l: int) -> np.ndarray:
+        if l == 0:
+            return self._lookup0
+        layer = self._layers[l]
+        lk = np.full((self.capacity,), -1, dtype=np.int32)
+        if layer.node_ids:
+            lk[np.asarray(layer.node_ids, dtype=np.int64)] = np.arange(
+                layer.count, dtype=np.int32
+            )
+        return lk
+
+    def _prune_overflow(
+        self, base_slots: np.ndarray, cand: np.ndarray, deg: int
+    ) -> np.ndarray:
+        """Batch-prune overflowed lists back to deg entries. cand is [V, C]
+        valid-first (−1 padded). L2/cosine: diversity rule on device
+        (gops.prune_neighbors, pow2-bucketed V so shapes stay stable);
+        INNER_PRODUCT: nearest-deg (see _select_neighbors rationale)."""
+        v, c = cand.shape
+        if self.metric == Metric.INNER_PRODUCT:
+            safe = np.maximum(cand, 0)
+            xe = self._graph_vecs[safe]  # [V, C, d]
+            base = self._graph_vecs[base_slots]  # [V, d]
+            d = -np.einsum("vcd,vd->vc", xe, base)  # IP order (R² const)
+            d = np.where(cand >= 0, d, np.inf)
+            order = np.argsort(d, axis=1, kind="stable")[:, :deg]
+            out = np.take_along_axis(cand, order, axis=1)
+            return np.where(
+                np.take_along_axis(d, order, axis=1) < np.inf, out, -1
+            ).astype(np.int32)
+        gv, sqn = self._sync_vec_device()
+        vp = 1 << (v - 1).bit_length()
+        ids_p = np.concatenate(
+            [base_slots, np.repeat(base_slots[-1:], vp - v)]
+        ).astype(np.int32)
+        cand_p = np.concatenate(
+            [cand, np.repeat(cand[-1:], vp - v, axis=0)], axis=0
+        ).astype(np.int32)
+        cand_p = np.where(cand_p >= 0, cand_p, INVALID_ID)
+        pruned = np.asarray(
+            gops.prune_neighbors(
+                jnp.asarray(ids_p), jnp.asarray(cand_p), gv, sqn, m=deg
+            )
+        )[:v]
+        return np.where(pruned != INVALID_ID, pruned, -1).astype(np.int32)
+
+    def _append_reverse_edges(
+        self, l: int, dst: np.ndarray, src: np.ndarray
+    ) -> None:
+        """Vectorized grouped reverse-edge append: add src[i] into dst[i]'s
+        level-l neighbor list; duplicates dropped; incoming capped at deg per
+        target per call (beyond-cap extras are hub pile-ups the diversity
+        prune would drop anyway); overflowed lists batch-pruned."""
+        if dst.size == 0:
+            return
+        layer = self._layers[l]
+        deg = layer.max_degree
+        lookup = self._row_lookup(l)
+        rows = lookup[dst]
+        keep = rows >= 0
+        rows, src = rows[keep], src[keep]
+        if rows.size == 0:
+            return
+        order = np.argsort(rows, kind="stable")
+        rows_s, src_s = rows[order], src[order].astype(np.int32)
+        urows, ustarts, counts = np.unique(
+            rows_s, return_index=True, return_counts=True
+        )
+        u = len(urows)
+        cmax = int(min(counts.max(), deg))
+        inc = np.full((u, cmax), -1, dtype=np.int32)
+        pos = np.arange(rows_s.size) - np.repeat(ustarts, counts)
+        sel = pos < cmax
+        inc[np.repeat(np.arange(u), counts)[sel], pos[sel]] = src_s[sel]
+        lists = layer.nbrs[urows]  # [U, deg]
+        present = (inc[:, :, None] == lists[:, None, :]).any(-1)
+        if cmax > 1:
+            # duplicate source within one target's incoming block: keep the
+            # first occurrence only (earlier-occurrence test)
+            earlier = np.tril(np.ones((cmax, cmax), dtype=bool), k=-1)
+            dup = ((inc[:, :, None] == inc[:, None, :]) & earlier[None]).any(-1)
+            present |= dup
+        inc = np.where(present | (inc < 0), -1, inc)
+        cand = np.concatenate([lists, inc], axis=1)
+        validm = cand >= 0
+        nvalid = validm.sum(1)
+        key = np.where(validm, 0, 1)
+        idx = np.argsort(key, axis=1, kind="stable")
+        cand_c = np.take_along_axis(cand, idx, axis=1)
+        ok = nvalid <= deg
+        if ok.any():
+            layer.nbrs[urows[ok]] = cand_c[ok, :deg]
+        over = ~ok
+        if over.any():
+            node_arr = np.asarray(layer.node_ids, dtype=np.int64)
+            base_slots = node_arr[urows[over]]
+            # fixed candidate width 2·deg for stable device shapes
+            cw = 2 * deg
+            co = cand_c[over]
+            if co.shape[1] < cw:
+                co = np.concatenate(
+                    [co, np.full((co.shape[0], cw - co.shape[1]), -1, np.int32)],
+                    axis=1,
+                )
+            else:
+                co = co[:, :cw]
+            layer.nbrs[urows[over]] = self._prune_overflow(base_slots, co, deg)
+        if l == 0:
+            self._dirty_rows0.update(int(r) for r in urows)
+        else:
+            self._invalidate_layer(l)
 
     def _select_neighbors(self, cand_d, cand_i, gv, sqn, m: int) -> np.ndarray:
         """Neighbor selection per metric: L2/cosine use the diversity
@@ -690,56 +846,74 @@ class HNSWIndex(VectorIndex):
             gops.select_neighbors_diverse(cand_d, cand_i, gv, sqn, m=m)
         )
 
-    def _prune_host(self, node_slot: int, cand: np.ndarray) -> np.ndarray:
-        """Diversity prune on host for single overflowed lists (plain
-        nearest-m for INNER_PRODUCT — see _select_neighbors)."""
-        cand = np.asarray([c for c in cand if c >= 0], dtype=np.int64)
-        base = self._graph_vecs[node_slot]
-        d = self._host_dist_from(base, self._graph_vecs[cand])
-        order = np.argsort(d, kind="stable")
-        cand, d = cand[order], d[order]
-        if self.metric == Metric.INNER_PRODUCT:
-            out = np.full(len(cand), -1, dtype=np.int32)
-            out[: len(cand)] = cand
-            return out
-        selected: list[int] = []
-        for ci, cd in zip(cand, d):
-            if not selected:
-                selected.append(int(ci))
-                continue
-            dsel = self._host_dist_from(
-                self._graph_vecs[ci], self._graph_vecs[np.asarray(selected)]
-            ).min()
-            if cd < dsel:
-                selected.append(int(ci))
-        out = np.full(len(cand), -1, dtype=np.int32)
-        out[: len(selected)] = selected
-        return out
-
-    def _insert_upper_host(self, slot: int, l: int) -> None:
+    def _insert_upper_batch(self, members: np.ndarray, l: int) -> None:
+        """Batched upper-level insertion (level l ≥ 1): register the chunk's
+        level-l members, compute one BLAS distance block against the whole
+        layer (members included — intra-chunk upper edges form), diversity-
+        select m, then forward + grouped reverse connect."""
         layer = self._layers[l]
-        row = layer.add_node(slot)
-        if layer.count == 1:
+        cfg = self.config
+        n_prev = layer.count
+        for s in members:
+            layer.add_node(int(s))
+        all_ids = np.asarray(layer.node_ids, dtype=np.int64)
+        if all_ids.size < 2:
             return
-        others = np.asarray(layer.node_ids[:-1], dtype=np.int64)
-        d = self._host_dist_from(self._graph_vecs[slot], self._graph_vecs[others])
-        order = np.argsort(d, kind="stable")[: self.config.ef_construction]
-        cand = others[order]
-        sel = self._prune_host(slot, cand)[: self.config.m]
-        sel = sel[sel >= 0]
-        layer.nbrs[row, : len(sel)] = sel
-        local = {s: r for r, s in enumerate(layer.node_ids)}
-        for s in sel:
-            srow = local[int(s)]
-            lst = layer.nbrs[srow]
-            free = np.nonzero(lst < 0)[0]
-            if len(free):
-                lst[free[0]] = slot
-            else:
-                cand2 = np.concatenate([lst, [slot]])
-                layer.nbrs[srow] = self._prune_host(int(s), cand2)[
-                    : layer.max_degree
-                ]
+        rows_new = np.arange(n_prev, n_prev + members.size, dtype=np.int64)
+
+        base = self._graph_vecs[members]  # [g, d]
+        others = self._graph_vecs[all_ids]  # [L, d]
+        gmat = base @ others.T
+        bn = np.einsum("gd,gd->g", base, base)
+        if self.metric == Metric.INNER_PRODUCT:
+            d = bn[:, None] + self._r2 - 2.0 * gmat
+        else:
+            on = np.einsum("ld,ld->l", others, others)
+            d = np.maximum(bn[:, None] + on[None, :] - 2.0 * gmat, 0.0)
+        d[members[:, None] == all_ids[None, :]] = np.inf
+        d = d.astype(np.float32)
+
+        ef = cfg.ef_construction
+        if d.shape[1] > ef:
+            part = np.argpartition(d, ef - 1, axis=1)[:, :ef]
+            dd = np.take_along_axis(d, part, axis=1)
+            o2 = np.argsort(dd, axis=1, kind="stable")
+            cand_idx = np.take_along_axis(part, o2, axis=1)
+            cand_d = np.take_along_axis(dd, o2, axis=1)
+        else:
+            cand_idx = np.argsort(d, axis=1, kind="stable")
+            cand_d = np.take_along_axis(d, cand_idx, axis=1)
+        cand_i = all_ids[cand_idx].astype(np.int32)
+        finite = np.isfinite(cand_d)
+        cand_i = np.where(finite, cand_i, INVALID_ID)
+        cand_d = np.where(finite, cand_d, np.inf).astype(np.float32)
+        # fixed width ef + pow2 rows → stable device-select shapes
+        g = cand_d.shape[0]
+        if cand_d.shape[1] < ef:
+            padw = ef - cand_d.shape[1]
+            cand_d = np.pad(cand_d, ((0, 0), (0, padw)), constant_values=np.inf)
+            cand_i = np.pad(
+                cand_i, ((0, 0), (0, padw)), constant_values=INVALID_ID
+            )
+        gp = 1 << (g - 1).bit_length()
+        if gp > g:
+            cand_d = np.concatenate(
+                [cand_d, np.repeat(cand_d[-1:], gp - g, axis=0)]
+            )
+            cand_i = np.concatenate(
+                [cand_i, np.repeat(cand_i[-1:], gp - g, axis=0)]
+            )
+        gv, sqn = self._sync_vec_device()
+        sel = self._select_neighbors(
+            jnp.asarray(cand_d), jnp.asarray(cand_i), gv, sqn, cfg.m
+        )[:g]
+        sel_np = np.where(sel == INVALID_ID, -1, sel).astype(np.int32)
+        sel_np = sel_np[:, : layer.max_degree]
+        layer.nbrs[rows_new, : sel_np.shape[1]] = sel_np
+        src = np.repeat(members.astype(np.int32), sel_np.shape[1])
+        dst = sel_np.ravel()
+        live = dst >= 0
+        self._append_reverse_edges(l, dst[live], src[live])
 
     # ------------------------------------------------------------------
     # search
