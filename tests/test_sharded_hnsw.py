@@ -1,0 +1,101 @@
+"""Sharded HNSW: per-shard graphs + ICI top-k merge (BASELINE config 5).
+
+Runs on the 8-virtual-device CPU mesh (conftest.py). Mirrors the reference's
+partition-then-merge contract tests (TopKMerge determinism) plus recall
+floors like HNSWRecallTests.swift:22-67.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vectorindex_tpu.models.hnsw import HNSWConfig
+from vectorindex_tpu.parallel.mesh import make_mesh
+from vectorindex_tpu.parallel.sharded_hnsw import (
+    build_sharded_hnsw,
+    sharded_hnsw_search,
+)
+from vectorindex_tpu.utils.config import Metric
+
+CFG = HNSWConfig(m=8, ef_construction=64, build_chunk=64)
+
+
+def _corpus(n, d, seed=3):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x
+
+
+def _truth(q, x, k):
+    d = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    return np.argsort(d, axis=1, kind="stable")[:, :k]
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh()
+
+
+def test_sharded_recall_l2(mesh8):
+    n, d, k = 2000, 24, 10
+    x = _corpus(n, d)
+    state = build_sharded_hnsw(x, len(jax.devices()), Metric.L2, CFG)
+    q = x[:32] + 0.01 * _corpus(32, d, seed=9)
+    dist, ids = sharded_hnsw_search(
+        mesh8, jnp.asarray(q), state, ef=64, iters=16, k=k
+    )
+    ids = np.asarray(ids)
+    truth = _truth(q, x, k)
+    rec = np.mean(
+        [len(set(ids[i]) & set(truth[i])) / k for i in range(q.shape[0])]
+    )
+    assert rec >= 0.9, rec
+
+
+def test_sharded_results_sorted_and_valid(mesh8):
+    n, d, k = 1200, 16, 5
+    x = _corpus(n, d, seed=5)
+    state = build_sharded_hnsw(x, len(jax.devices()), Metric.L2, CFG)
+    q = x[100:116]
+    dist, ids = sharded_hnsw_search(
+        mesh8, jnp.asarray(q), state, ef=32, iters=8, k=k
+    )
+    dist, ids = np.asarray(dist), np.asarray(ids)
+    assert (np.diff(dist, axis=1) >= 0).all()
+    assert (ids >= 0).all() and (ids < n).all()
+    # self-recall@1: each query is a corpus point
+    assert (ids[:, 0] == np.arange(100, 116)).all()
+
+
+def test_sharded_ip_global_r2(mesh8):
+    """IP routing must use ONE R² across shards or merged distances are
+    incomparable — check the merged order equals exact IP order."""
+    n, d, k = 1500, 16, 8
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x *= rng.uniform(0.2, 3.0, (n, 1)).astype(np.float32)  # spread norms
+    state = build_sharded_hnsw(x, len(jax.devices()), Metric.INNER_PRODUCT, CFG)
+    q = rng.standard_normal((16, d)).astype(np.float32)
+    _, ids = sharded_hnsw_search(
+        mesh8, jnp.asarray(q), state, ef=96, iters=24, k=k
+    )
+    ids = np.asarray(ids)
+    truth = np.argsort(-(q @ x.T), axis=1, kind="stable")[:, :k]
+    rec = np.mean([len(set(ids[i]) & set(truth[i])) / k for i in range(16)])
+    assert rec >= 0.85, rec
+
+
+def test_global_ids_passthrough(mesh8):
+    n, d, k = 800, 16, 5
+    x = _corpus(n, d, seed=7)
+    gids = np.arange(n, dtype=np.int64) * 3 + 100
+    state = build_sharded_hnsw(
+        x, len(jax.devices()), Metric.L2, CFG, global_ids=gids
+    )
+    q = x[:8]
+    _, ids = sharded_hnsw_search(
+        mesh8, jnp.asarray(q), state, ef=32, iters=8, k=k
+    )
+    ids = np.asarray(ids)
+    assert (ids[:, 0] == gids[:8]).all()
