@@ -187,6 +187,19 @@ static void update_header_crc(VCHandle* h) {
   hd->header_crc = vc_crc32(hd, sizeof(VCHeader));
 }
 
+// Section CRCs cover "data at last full sync" (VCSection.crc32 comment):
+// appends/WAL writes grow nbytes past the recorded CRC range, so every
+// durable point (vc_sync / writable vc_close) recomputes them — otherwise
+// a container fails vc_verify_section forever after its first append.
+static void update_section_crcs(VCHandle* h) {
+  VCHeader* hd = header_of(h);
+  VCSection* toc = toc_of(h);
+  for (uint32_t i = 0; i < hd->n_sections; i++) {
+    VCSection* s = &toc[i];
+    s->crc32 = s->nbytes ? vc_crc32(h->map + s->offset, s->nbytes) : 0;
+  }
+}
+
 static int remap(VCHandle* h, uint64_t new_size) {
   if (ftruncate(h->fd, (off_t)new_size) != 0) return -1;
   void* m = mremap(h->map, h->map_size, new_size, MREMAP_MAYMOVE);
@@ -271,7 +284,11 @@ void* vc_open(const char* path, int writable, int* err) {
 void vc_close(void* vh) {
   VCHandle* h = (VCHandle*)vh;
   if (!h) return;
-  if (h->writable) { update_header_crc(h); msync(h->map, h->map_size, MS_SYNC); }
+  if (h->writable) {
+    update_section_crcs(h);
+    update_header_crc(h);
+    msync(h->map, h->map_size, MS_SYNC);
+  }
   munmap(h->map, h->map_size);
   close(h->fd);
   free(h->ro_toc);
@@ -281,6 +298,7 @@ void vc_close(void* vh) {
 int vc_sync(void* vh) { // reference msync full map :359-362
   VCHandle* h = (VCHandle*)vh;
   if (!h->writable) return -1;
+  update_section_crcs(h);
   update_header_crc(h);
   return msync(h->map, h->map_size, MS_SYNC);
 }
@@ -496,6 +514,10 @@ int vc_wal_replay(void* vh) {
         std::atomic_ref<uint64_t>(s->nbytes).store(want, std::memory_order_release);
       else
         s->nbytes = want;
+      // refresh the rolled-forward section's data CRC in the effective TOC
+      // view — the recorded crc32 covers the pre-append length, so verify
+      // would falsely flag a correctly-recovered section
+      s->crc32 = vc_crc32(h->map + s->offset, want);
       applied++;
     }
   }
