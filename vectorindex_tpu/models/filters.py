@@ -40,7 +40,9 @@ class JournalFilter:
 
     date_key: str = "date"
     tags_key: str = "tags"
+    tags_delimiter: str = ","  # reference tagsDelimiter (JournalFilter.swift:16)
     allow_missing_keys: bool = False
+    require_all_included_tags: bool = False  # reference default: ANY-of (:18)
     _date_lo: Optional[date] = None
     _date_hi: Optional[date] = None
     _include_tags: set = field(default_factory=set)
@@ -52,12 +54,27 @@ class JournalFilter:
         self._date_hi = _parse_date(hi)
         return self
 
-    def including_tags(self, *tags: str) -> "JournalFilter":
-        self._include_tags.update(tags)
+    def set_keys(
+        self, date_key=None, tags_key=None, delimiter=None
+    ) -> "JournalFilter":
+        """Reference setKeys(dateKey:tagsKey:delimiter:) (JournalFilter.swift:38)."""
+        if date_key is not None:
+            self.date_key = date_key
+        if tags_key is not None:
+            self.tags_key = tags_key
+        if delimiter is not None:
+            self.tags_delimiter = delimiter
+        return self
+
+    def including_tags(self, *tags: str, require_all: bool = False) -> "JournalFilter":
+        """Tags whitespace-trimmed, empties dropped; require_all toggles
+        all-of vs any-of (reference includingTags, JournalFilter.swift:47)."""
+        self._include_tags.update(t.strip() for t in tags if t.strip())
+        self.require_all_included_tags = require_all
         return self
 
     def excluding_tags(self, *tags: str) -> "JournalFilter":
-        self._exclude_tags.update(tags)
+        self._exclude_tags.update(t.strip() for t in tags if t.strip())
         return self
 
     def allowing_missing_keys(self, allow: bool = True) -> "JournalFilter":
@@ -69,13 +86,14 @@ class JournalFilter:
         self._extra.append(predicate)
         return self
 
-    @staticmethod
-    def _tags_of(meta: dict, key: str) -> Optional[set]:
+    def _tags_of(self, meta: dict, key: str) -> Optional[set]:
         raw = meta.get(key)
         if raw is None:
             return None
         if isinstance(raw, str):
-            return {t.strip() for t in raw.split(",") if t.strip()}
+            return {
+                t.strip() for t in raw.split(self.tags_delimiter) if t.strip()
+            }
         return set(raw)
 
     def compile(self) -> Predicate:
@@ -83,6 +101,7 @@ class JournalFilter:
         include, exclude = frozenset(self._include_tags), frozenset(self._exclude_tags)
         extra = tuple(self._extra)
         allow_missing = self.allow_missing_keys
+        require_all = self.require_all_included_tags
         date_key, tags_key = self.date_key, self.tags_key
 
         def predicate(meta: Metadata) -> bool:
@@ -103,15 +122,21 @@ class JournalFilter:
                     if date_hi is not None and d > date_hi:
                         return False
             if include or exclude:
-                tags = JournalFilter._tags_of(meta, tags_key)
+                tags = self._tags_of(meta, tags_key)
                 if tags is None:
-                    if include and not allow_missing:
+                    # missing tags key: pass built-in tag checks iff allowed
+                    # (reference build(), JournalFilter.swift:104)
+                    if not allow_missing:
                         return False
-                    tags = set()
-                if include and not include.issubset(tags):
-                    return False
-                if exclude and tags & exclude:
-                    return False
+                else:
+                    if include:
+                        if require_all:
+                            if not include.issubset(tags):
+                                return False
+                        elif include.isdisjoint(tags):
+                            return False
+                    if exclude and tags & exclude:
+                        return False
             return all(p(meta) for p in extra)
 
         return predicate
