@@ -1,0 +1,67 @@
+"""Device timing helpers for the axon-tunnel TPU platform.
+
+block_until_ready / device_get can report ~0s for async work under the
+tunnel, and identical loop bodies get hoisted/DCE'd by XLA — so the only
+reliable method is M-scaling: time one jit call that runs M *dependent*
+iterations over distinct query slices and fully reduces every output, then
+difference M=1 vs M=1+R timings (see .claude/skills/verify/SKILL.md).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def time_loop(search_outputs_fn, qpool, b: int, m: int, repeats: int = 3):
+    """(seconds_per_batch, outputs): difference M=1 vs M=1+m dependent
+    in-jit iterations over distinct [b, d] slices of qpool, reducing all of
+    search_outputs_fn's outputs (a tuple of scalars: float first, then
+    int32s)."""
+
+    def run_m(mm):
+        @jax.jit
+        def f(qpool):
+            def body(i, acc):
+                q = jax.lax.dynamic_slice_in_dim(qpool, i * b, b)
+                o = search_outputs_fn(q)
+                return tuple(a + x for a, x in zip(acc, o))
+
+            probe = search_outputs_fn(jax.lax.dynamic_slice_in_dim(qpool, 0, b))
+            init = tuple(jnp.zeros((), p.dtype) for p in probe)
+            return jax.lax.fori_loop(0, mm, body, init)
+
+        return f
+
+    f1, fm = run_m(1), run_m(m + 1)
+    jax.device_get(f1(qpool))
+    jax.device_get(fm(qpool))
+    best = None
+    r = None
+    for _ in range(repeats):  # best-of-N: the tunnel adds ±25% noise
+        t0 = time.perf_counter()
+        jax.device_get(f1(qpool))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        r = jax.device_get(fm(qpool))
+        tm = time.perf_counter() - t0
+        per = (tm - t1) / m
+        if best is None or per < best:
+            best = per
+    return best, r
+
+
+def time_host(fn, repeats: int = 3):
+    """Best-of-N wall-clock for host-side paths (e.g. index.batch_search
+    including result assembly). fn must consume its own outputs."""
+    fn()  # warm (compiles)
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        if best is None or dt < best:
+            best = dt
+    return best
