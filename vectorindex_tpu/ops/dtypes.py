@@ -63,8 +63,18 @@ def quantize_affine_i8(x: Array, axis=None) -> Tuple[Array, Array, Array]:
     Returns (codes i8, scale f32, zero_point i32)."""
     lo = jnp.min(x, axis=axis, keepdims=axis is not None)
     hi = jnp.max(x, axis=axis, keepdims=axis is not None)
-    scale = jnp.maximum(hi - lo, 1e-30) / 255.0
-    zp = jnp.round(-128.0 - lo / scale).astype(jnp.int32)
+    rng = hi - lo
+    # degenerate (constant) range: scale = |v|/127 reconstructs the constant
+    # exactly instead of overflowing the zero point (lo/eps → int32 wrap)
+    degen = rng <= 0
+    scale = jnp.where(
+        degen,
+        jnp.maximum(jnp.abs(hi), 1e-12) / 127.0,
+        jnp.maximum(rng, 1e-30) / 255.0,
+    )
+    zp = jnp.where(
+        degen, 0, jnp.round(-128.0 - lo / scale)
+    ).astype(jnp.int32)
     q = jnp.clip(jnp.round(x / scale) + zp, -128, 127).astype(jnp.int8)
     return q, scale.astype(jnp.float32), zp
 
