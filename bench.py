@@ -78,20 +78,20 @@ def bench_flat(iters: int = 20):
     )
     xp, sp, vp = pad_corpus(x, sqn, None)
 
-    def fused(q):
+    def fused(q, xp, sp, vp):
         sd, si, exact = scan_topk_fused(
             q.astype(jnp.float32), xp, sp, vp, metric=Metric.L2, k=K
         )
         return jnp.sum(sd), jnp.sum(si), jnp.sum((~exact).astype(jnp.int32))
 
-    t_fused, r = time_loop(fused, qpool, b, m)
+    t_fused, r = time_loop(fused, qpool, b, m, args=(xp, sp, vp))
     miss_frac = float(r[2]) / ((m + 1) * b)
 
-    def strict8(q):
+    def strict8(q, x, sqn):
         sd, si = scan_topk_strict(q, x, sqn, None, None, metric=Metric.L2, k=K)
         return jnp.sum(sd), jnp.sum(si)
 
-    t_strict8, _ = time_loop(strict8, qpool, 8, m)
+    t_strict8, _ = time_loop(strict8, qpool, 8, m, args=(x, sqn))
     t_strict8 = max(t_strict8, 0.0)  # tunnel noise can difference negative
 
     p_any = 1.0 - (1.0 - miss_frac) ** b
@@ -149,13 +149,19 @@ def bench_flat(iters: int = 20):
 
 
 def bench_adc(iters: int = 20):
-    from vectorindex_tpu.bench.synth import clustered_corpus, exact_truth, recall_at_k
+    from vectorindex_tpu.bench.synth import (
+        exact_truth,
+        lowdim_corpus,
+        lowdim_queries,
+        recall_at_k,
+    )
     from vectorindex_tpu.bench.timing import time_loop
+    from vectorindex_tpu.kernels.adc import adc_topk_fused
     from vectorindex_tpu.ops import pq as pq_ops
-    from vectorindex_tpu.ops.topk import topk
 
     n, d, b, m_pq, m = 1_000_000, 128, 256, 8, iters
-    x, _, _ = clustered_corpus(n, d, nlist=256, seed=11)
+    # SIFT-like intrinsic dimension (~16): the regime 8-byte PQ exists for
+    x, W = lowdim_corpus(n, d, dz=16, seed=11)
     key = jax.random.key(7)
     samp = np.random.default_rng(0).choice(n, 131072, replace=False)
     t0 = time.perf_counter()
@@ -163,28 +169,40 @@ def bench_adc(iters: int = 20):
     jax.block_until_ready(books.centroids)
     t_train = time.perf_counter() - t0
 
+    xd = jnp.asarray(x)
+    codes = pq_ops.pq_encode(xd, books, chunk=65536)
+    jax.device_get(jnp.sum(codes.astype(jnp.uint32)))  # warm + materialize
+    # timed run on a distinct same-shape input, forced through a scalar
+    # reduction (block_until_ready under-reports under the axon tunnel)
+    xd2 = jnp.roll(xd, 1, axis=0)
     t0 = time.perf_counter()
-    codes = pq_ops.pq_encode(jnp.asarray(x), books, chunk=65536)
-    codes = jax.device_get(codes)  # force completion for honest encode time
+    c2 = pq_ops.pq_encode(xd2, books, chunk=65536)
+    jax.device_get(jnp.sum(c2.astype(jnp.uint32)))
     t_encode = time.perf_counter() - t0
-    codes = jnp.asarray(codes)
+    del xd2, c2
 
-    qs = _noisy_queries(x, (m + 1) * b)
+    qs = lowdim_queries(W, (m + 1) * b)
     qpool = jnp.asarray(qs)
 
-    def adc_search(q):
+    def adc_search(q, codes):
         lut = pq_ops.pq_lut_l2(q, books)
-        dist = pq_ops.adc_scan(codes, lut)
-        sd, si = topk(dist, K)
+        sd, si = adc_topk_fused(codes, lut, K)
         return jnp.sum(sd), jnp.sum(si)
 
-    t_scan, _ = time_loop(adc_search, qpool, b, m)
+    t_scan, _ = time_loop(adc_search, qpool, b, m, args=(codes,))
     qps = b / t_scan
 
-    q_check = qs[:b]
-    _, si = topk(pq_ops.adc_scan(codes, pq_ops.pq_lut_l2(jnp.asarray(q_check), books)), K)
-    truth = exact_truth(q_check, x, K)
+    # recall@10: ADC-only top-k, and exact rerank of the ADC top-128
+    # (reference IVFPostADC pipeline)
+    q_check = jnp.asarray(qs[:b])
+    _, si = adc_topk_fused(codes, pq_ops.pq_lut_l2(q_check, books), K)
+    _, c128 = adc_topk_fused(codes, pq_ops.pq_lut_l2(q_check, books), 128)
+    truth = exact_truth(qs[:b], x, K)
     recall = recall_at_k(np.asarray(si), truth)
+    c128 = np.asarray(c128)
+    ex = np.einsum("bcd,bcd->bc", x[c128] - qs[:b, None, :], x[c128] - qs[:b, None, :])
+    rr = np.take_along_axis(c128, np.argsort(ex, axis=1)[:, :K], axis=1)
+    recall_rr = recall_at_k(rr, truth)
 
     emit(
         {
@@ -193,6 +211,7 @@ def bench_adc(iters: int = 20):
             "unit": "qps",
             "vs_baseline": round(qps / REF_FLAT_QPS, 1),
             "recall_at_10": round(recall, 4),
+            "recall_at_10_rerank128": round(recall_rr, 4),
             "batch": b,
             "ms_per_batch": round(t_scan * 1e3, 3),
             "encode_rows_per_s": round(n / t_encode, 1),
@@ -221,9 +240,15 @@ def bench_ivf(iters: int = 40):
     from vectorindex_tpu.kernels.scan_fused import pad_corpus, scan_topk_fused
     from vectorindex_tpu.utils.config import Metric
 
-    n, d, nlist, b, m = 1_000_000, 128, 1024, 8, iters
+    n, d, nlist, b = 1_000_000, 128, 1024, 8
+    # sub-ms per-batch work at B=8: the M-difference method needs many
+    # hundreds of in-jit iterations or tunnel noise (±25% of the ~50 ms call
+    # overhead) swamps the signal
+    m = max(400, iters)
     x, centers, assign = clustered_corpus(n, d, nlist=nlist, seed=21)
-    arrays, order, probe_cap = pack_ivf(x, assign, nlist)
+    # f32 storage: the reference's IVF-Flat contract is exact-within-probed
+    # lists (bf16 storage caps recall ~0.95 on near-duplicate-heavy data)
+    arrays, order, probe_cap = pack_ivf(x, assign, nlist, storage_dtype=jnp.float32)
     cent = jnp.asarray(centers)
 
     n_eval = 256
@@ -234,14 +259,14 @@ def bench_ivf(iters: int = 40):
     sweep = []
     for nprobe in (1, 8, 32):
 
-        def f(q):
+        def f(q, cent, arrays):
             sd, si = ivf_search_flat_pallas(
                 q, cent, arrays, nprobe=nprobe, probe_cap=probe_cap, k=K,
                 metric=Metric.L2,
             )
             return jnp.sum(sd), jnp.sum(si)
 
-        t, _ = time_loop(f, qpool, b, m)
+        t, _ = time_loop(f, qpool, b, m, args=(cent, arrays))
         found = []
         for s in range(0, n_eval, b):
             _, si = ivf_search_flat_pallas(
@@ -263,11 +288,11 @@ def bench_ivf(iters: int = 40):
     sqn = jnp.einsum("nd,nd->n", x, x)
     xp, sp, vp = pad_corpus(jnp.asarray(x, dtype=jnp.bfloat16), sqn, None)
 
-    def flat8(q):
+    def flat8(q, xp, sp, vp):
         sd, si, _ = scan_topk_fused(q, xp, sp, vp, metric=Metric.L2, k=K)
         return jnp.sum(sd), jnp.sum(si)
 
-    t_flat, _ = time_loop(flat8, qpool, b, m)
+    t_flat, _ = time_loop(flat8, qpool, b, m, args=(xp, sp, vp))
 
     best = max(
         (p for p in sweep if p["recall_at_10"] >= 0.90),
@@ -331,7 +356,7 @@ def bench_ivfpq(
     sweep = []
     for nprobe in (8, 32):
 
-        def f(q):
+        def f(q, cent, arrays, codes, tcorr):
             sd, si = ivf_search_pq_pallas(
                 q, cent, arrays, codes, tcorr, books,
                 nprobe=nprobe, probe_cap=probe_cap, k=K,
@@ -339,7 +364,7 @@ def bench_ivfpq(
             )
             return jnp.sum(sd), jnp.sum(si)
 
-        t, _ = time_loop(f, qpool, b, m)
+        t, _ = time_loop(f, qpool, b, m, args=(cent, arrays, codes, tcorr))
         _, si = ivf_search_pq_pallas(
             qpool[:n_eval], cent, arrays, codes, tcorr, books,
             nprobe=nprobe, probe_cap=probe_cap, k=K,
@@ -378,11 +403,11 @@ def bench_ivfpq(
         sqn = jnp.einsum("nd,nd->n", x, x)
         xp, sp, vp = pad_corpus(jnp.asarray(x, dtype=jnp.bfloat16), sqn, None)
 
-        def flat(q):
+        def flat(q, xp, sp, vp):
             sd, si, _ = scan_topk_fused(q, xp, sp, vp, metric=Metric.L2, k=K)
             return jnp.sum(sd), jnp.sum(si)
 
-        t_flat, _ = time_loop(flat, qpool, b, max(4, m // 4))
+        t_flat, _ = time_loop(flat, qpool, b, max(4, m // 4), args=(xp, sp, vp))
         out["flat_fused_qps"] = round(b / t_flat, 1)
         out["crossover"] = bool(best["qps"] > b / t_flat and best["recall_at_10"] >= 0.9)
         del xp

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""1M-node HNSW build + efSearch sweep on the real TPU chip.
+
+Produces docs/HNSW_1M.json: build wall-clock, per-efSearch QPS and
+recall@10 vs exact f32 brute force (VERDICT round-1 item 6a: 1M x 128 build
+in minutes, efS sweep reaching recall@10 >= 0.95).
+
+Run:  python scripts/hnsw_1m.py [--n 1000000] [--out docs/HNSW_1M.json]
+"""
+
+import argparse
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=1_000_000)
+    p.add_argument("--d", type=int, default=128)
+    p.add_argument("--chunk", type=int, default=4096)
+    p.add_argument("--out", type=str, default="docs/HNSW_1M.json")
+    args = p.parse_args()
+
+    from vectorindex_tpu.bench.synth import clustered_corpus, exact_truth, recall_at_k
+    from vectorindex_tpu.bench.timing import time_host
+    from vectorindex_tpu.models.hnsw import HNSWConfig, HNSWIndex
+    from vectorindex_tpu.utils.config import Metric
+
+    n, d = args.n, args.d
+    x, _, _ = clustered_corpus(n, d, nlist=1024, seed=41)
+    cfg = HNSWConfig(build_chunk=args.chunk)
+    idx = HNSWIndex(d, Metric.L2, cfg)
+
+    t0 = time.perf_counter()
+    idx.insert_batch([str(i) for i in range(n)], x)
+    idx.statistics()  # flush construction
+    t_build = time.perf_counter() - t0
+    stats = idx.statistics()
+    print(f"build {n}x{d}: {t_build:.0f}s  avg_deg_l0={stats.details['avg_degree_l0']:.1f}"
+          f" max_level={stats.details['max_level']}", flush=True)
+
+    b = 256
+    rng = np.random.default_rng(9)
+    qi = rng.choice(n, b, replace=False)
+    q = (x[qi] + 0.02 * rng.standard_normal((b, d))).astype(np.float32)
+    truth = exact_truth(q, x, 10)
+
+    sweep = []
+    for efs in (64, 128, 256):
+        idx.config = dataclasses.replace(idx.config, ef_search=efs)
+        holder = {}
+
+        def run():
+            holder["res"] = idx.batch_search(q, 10)
+
+        t = time_host(run)
+        found = np.full((b, 10), -1, dtype=np.int64)
+        for i, row in enumerate(holder["res"]):
+            for j, r in enumerate(row):
+                found[i, j] = int(r.id)
+        rec = recall_at_k(found, truth)
+        point = {"ef_search": efs, "qps": round(b / t, 1),
+                 "recall_at_10": round(rec, 4)}
+        sweep.append(point)
+        print(point, flush=True)
+
+    out = {
+        "n": n, "d": d, "m": cfg.m, "ef_construction": cfg.ef_construction,
+        "build_chunk": args.chunk, "build_s": round(t_build, 1),
+        "avg_degree_l0": round(stats.details["avg_degree_l0"], 2),
+        "max_level": stats.details["max_level"],
+        "sweep": sweep, "batch": b,
+        "device": "TPU v5 lite (1 chip)",
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

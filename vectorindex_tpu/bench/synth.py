@@ -182,3 +182,30 @@ def recall_at_k(found_ids: np.ndarray, truth_ids: np.ndarray) -> float:
             ]
         )
     )
+
+
+def lowdim_corpus(
+    n: int, d: int, dz: int = 16, noise: float = 0.05, seed: int = 42
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(x [n,d], W [dz,d]): unit-norm corpus with intrinsic dimension dz —
+    the SIFT-like regime (real descriptor sets have intrinsic dim ~12-16,
+    which is what makes 8-byte PQ recall meaningful; i.i.d. gaussian 128-d
+    data is maximally hard for ANY 8-byte code and reads as a broken
+    benchmark). Queries: draw fresh z, map through the returned W."""
+    rng = np.random.default_rng(seed)
+    W = rng.standard_normal((dz, d)).astype(np.float32) / np.sqrt(dz)
+    z = rng.standard_normal((n, dz)).astype(np.float32)
+    x = z @ W + noise * rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    return x.astype(np.float32), W
+
+
+def lowdim_queries(
+    W: np.ndarray, nq: int, noise: float = 0.05, seed: int = 9
+) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    dz, d = W.shape
+    q = rng.standard_normal((nq, dz)).astype(np.float32) @ W
+    q += noise * rng.standard_normal((nq, d)).astype(np.float32)
+    q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    return q.astype(np.float32)

@@ -15,37 +15,45 @@ import jax
 import jax.numpy as jnp
 
 
-def time_loop(search_outputs_fn, qpool, b: int, m: int, repeats: int = 3):
+def time_loop(search_outputs_fn, qpool, b: int, m: int, repeats: int = 3,
+              args=()):
     """(seconds_per_batch, outputs): difference M=1 vs M=1+m dependent
     in-jit iterations over distinct [b, d] slices of qpool, reducing all of
     search_outputs_fn's outputs (a tuple of scalars: float first, then
-    int32s)."""
+    int32s).
+
+    Pass corpus-sized device buffers through `args` (forwarded as
+    search_outputs_fn(q, *args)) rather than closing over them: closure-
+    captured arrays lower as HLO constants, and a 256 MB constant blows the
+    remote-compile request past the axon tunnel's body limit (HTTP 413)."""
 
     def run_m(mm):
         @jax.jit
-        def f(qpool):
+        def f(qpool, *args):
             def body(i, acc):
                 q = jax.lax.dynamic_slice_in_dim(qpool, i * b, b)
-                o = search_outputs_fn(q)
+                o = search_outputs_fn(q, *args)
                 return tuple(a + x for a, x in zip(acc, o))
 
-            probe = search_outputs_fn(jax.lax.dynamic_slice_in_dim(qpool, 0, b))
+            probe = search_outputs_fn(
+                jax.lax.dynamic_slice_in_dim(qpool, 0, b), *args
+            )
             init = tuple(jnp.zeros((), p.dtype) for p in probe)
             return jax.lax.fori_loop(0, mm, body, init)
 
         return f
 
     f1, fm = run_m(1), run_m(m + 1)
-    jax.device_get(f1(qpool))
-    jax.device_get(fm(qpool))
+    jax.device_get(f1(qpool, *args))
+    jax.device_get(fm(qpool, *args))
     best = None
     r = None
     for _ in range(repeats):  # best-of-N: the tunnel adds ±25% noise
         t0 = time.perf_counter()
-        jax.device_get(f1(qpool))
+        jax.device_get(f1(qpool, *args))
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        r = jax.device_get(fm(qpool))
+        r = jax.device_get(fm(qpool, *args))
         tm = time.perf_counter() - t0
         per = (tm - t1) / m
         if best is None or per < best:

@@ -278,11 +278,12 @@ def ivf_search_pq_pallas(
         # exact rerank of the ADC top-C against the original vectors
         # (reference IVFPostADC.rerankTopKFlat + #40)
         rrows = jnp.where(missing, 0, rows)
-        xg = arrays.vecs[rrows]
+        xg = arrays.vecs[rrows].astype(jnp.float32)
         sg = arrays.sqnorms[rrows]
         g = jnp.einsum(
-            "bd,bcd->bc", q.astype(xg.dtype), xg,
+            "bd,bcd->bc", q, xg,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         if metric == Metric.L2:
             qn = jnp.sum(jnp.square(q), axis=-1)

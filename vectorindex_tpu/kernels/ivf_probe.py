@@ -197,7 +197,8 @@ def ivf_probe_scores(
 
 @partial(
     jax.jit,
-    static_argnames=("nprobe", "probe_cap", "k", "metric", "interpret"),
+    static_argnames=("nprobe", "probe_cap", "k", "metric", "exact_rerank",
+                     "interpret"),
 )
 def ivf_search_flat_pallas(
     q: Array,
@@ -208,13 +209,18 @@ def ivf_search_flat_pallas(
     probe_cap: int,
     k: int,
     metric: Metric = Metric.L2,
+    exact_rerank: bool = True,
     interpret: bool = False,
 ) -> Tuple[Array, Array]:
     """IVF-Flat probed search → (dist [B,k], internal ids [B,k]).
 
     Drop-in for ops.ivf.ivf_search_flat with the Pallas probe kernel in the
-    hot seat. Exact within probed lists; result contract identical (strict
-    (score, id) tie-break on the final k)."""
+    hot seat; result contract identical (strict (score, id) tie-break on the
+    final k). exact_rerank re-scores the top-C candidates at f32-HIGHEST
+    (the reference pipeline's #40 rerank_exact_topk stage): the kernel's MXU
+    pass runs at default precision, which flips ~5% of top-10 entries among
+    near-duplicates — the C-row rerank restores exact-within-probed-lists
+    for ~C/probed_rows of the kernel's cost."""
     from vectorindex_tpu.ops.ivf import ivf_select
 
     b, d = q.shape
@@ -245,8 +251,36 @@ def ivf_search_flat_pallas(
     probe_of = cp // probe_cap
     off = cp % probe_cap
     rows = jnp.take_along_axis(start_rows, probe_of, axis=1) + off
-    iids = arrays.row_ids[jnp.clip(rows, 0, arrays.row_ids.shape[0] - 1)]
-    iids = jnp.where(jnp.isfinite(cd), iids, INVALID_ID)
+    rows = jnp.clip(rows, 0, arrays.row_ids.shape[0] - 1)
+    iids = arrays.row_ids[rows]
+    missing = ~jnp.isfinite(cd)
+    iids = jnp.where(missing, INVALID_ID, iids)
+    if exact_rerank:
+        # #40 exact rerank: f32-HIGHEST over just the C gathered rows
+        rrows = jnp.where(missing, 0, rows)
+        xg = vecs[rrows].astype(jnp.float32)
+        g = jnp.einsum(
+            "bd,bcd->bc", q, xg,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if metric == Metric.L2:
+            qn = jnp.sum(jnp.square(q), axis=-1)
+            sg = jnp.einsum(
+                "bcd,bcd->bc", xg, xg,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            ex = jnp.maximum(qn[:, None] + sg - 2.0 * g, 0.0)
+        elif metric == Metric.INNER_PRODUCT:
+            ex = -g
+        else:  # COSINE
+            qn = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(q), axis=-1), 1e-30))
+            xn = jnp.sqrt(
+                jnp.maximum(jnp.einsum("bcd,bcd->bc", xg, xg), 1e-30)
+            )
+            ex = 1.0 - g / (qn[:, None] * xn)
+        cd = jnp.where(missing, INVALID_DIST, ex)
     sd, si = topk(cd, kk, ids=iids, strict_ties=True)
     if metric == Metric.L2:
         sd = jnp.where(jnp.isfinite(sd), jnp.maximum(sd, 0.0), sd)

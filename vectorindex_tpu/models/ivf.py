@@ -592,7 +592,11 @@ class IVFPQIndex(IVFIndex):
         self._pq_cache = None
 
     def _encode_rows(self, vecs_f32, row_list):
-        """Residual-encode a row block → codes (packed u4 when ks ≤ 16)."""
+        """Residual-encode a row block → (codes, tcorr). Codes pack to u4 at
+        rest when ks ≤ 16 (reference IVFFormat.pq4); tcorr is the per-row
+        constant of the decomposed residual LUT (pq_row_corrections) the
+        Pallas ADC probe kernel streams alongside the codes — zeros for IP,
+        where the decomposition has no row term."""
         from vectorindex_tpu.ops import pq as pq_ops
 
         codes = pq_ops.pq_encode_residual(
@@ -602,12 +606,18 @@ class IVFPQIndex(IVFIndex):
             self._books,
             chunk=min(4096, max(256, vecs_f32.shape[0])),
         )
+        if self.metric == Metric.L2:
+            tcorr = pq_ops.pq_row_corrections(
+                codes, row_list, jnp.asarray(self._centroids), self._books
+            )
+        else:
+            tcorr = jnp.zeros((codes.shape[0],), jnp.float32)
         if self.config.ks <= 16:
             # pq4: half the resident code bytes (reference IVFFormat.pq4)
             from vectorindex_tpu.ops.dtypes import pack_u4
 
             codes = pack_u4(codes)
-        return codes
+        return codes, tcorr
 
     def _sync_pq(self):
         """Codes + slot→row table for the current packed layout.
@@ -622,7 +632,7 @@ class IVFPQIndex(IVFIndex):
         store = self._store
         cache = self._pq_cache
         if cache is not None and cache["version"] == store.version:
-            return arrays, cache["codes"], cache["slot_rows"]
+            return arrays, cache["codes"], cache["tcorr"], cache["slot_rows"]
 
         if (
             cache is not None
@@ -641,17 +651,19 @@ class IVFPQIndex(IVFIndex):
                 lists = jnp.asarray([l for _, l in new], dtype=jnp.int32)
                 rows_d = jnp.asarray(rows)
                 vecs_new = arrays.vecs[rows_d].astype(jnp.float32)
-                codes_new = self._encode_rows(vecs_new, lists)
+                codes_new, tcorr_new = self._encode_rows(vecs_new, lists)
                 codes = cache["codes"].at[rows_d].set(codes_new)
+                tcorr = cache["tcorr"].at[rows_d].set(tcorr_new)
                 new_slots = arrays.row_ids[rows_d]
                 slot_rows = cache["slot_rows"].at[new_slots].set(rows_d)
                 self._pq_cache = {
                     "version": store.version,
                     "layout": store.layout_version,
                     "codes": codes,
+                    "tcorr": tcorr,
                     "slot_rows": slot_rows,
                 }
-                return arrays, codes, slot_rows
+                return arrays, codes, tcorr, slot_rows
 
         # full rebuild (new layout / first sync / slot table outgrown)
         starts = np.asarray(arrays.starts)
@@ -660,7 +672,7 @@ class IVFPQIndex(IVFIndex):
         row_list = np.zeros(n_pad, dtype=np.int32)
         for l in range(self._store.n_lists):
             row_list[starts[l] : starts[l] + lengths[l]] = l
-        codes = self._encode_rows(
+        codes, tcorr = self._encode_rows(
             arrays.vecs.astype(jnp.float32), jnp.asarray(row_list)
         )
         row_ids = np.asarray(arrays.row_ids)
@@ -675,9 +687,10 @@ class IVFPQIndex(IVFIndex):
             "version": store.version,
             "layout": store.layout_version,
             "codes": codes,
+            "tcorr": tcorr,
             "slot_rows": slot_rows_dev,
         }
-        return arrays, codes, slot_rows_dev
+        return arrays, codes, tcorr, slot_rows_dev
 
     def batch_search(self, queries, k, filter=None):
         q = np.asarray(queries, dtype=np.float32)
@@ -690,35 +703,57 @@ class IVFPQIndex(IVFIndex):
         if not (self.trained and self.pq_trained):
             return super().batch_search(queries, k, filter)
 
-        from vectorindex_tpu.ops.ivf_pq import ivf_search_pq, rerank_rows
-
         kk = min(k if filter is None else max(4 * k, k + 32), self.count)
-        arrays, codes, slot_rows = self._sync_pq()
+        arrays, codes, tcorr, slot_rows = self._sync_pq()
         cap = probe_cap_for(self._store.max_length)
-        c_adc = max(kk, self.config.rerank_c if self.config.rerank else kk)
-        c_adc = min(c_adc, self.count)
-        dist, ids = ivf_search_pq(
-            jnp.asarray(q),
-            jnp.asarray(self._centroids),
-            arrays,
-            codes,
-            self._books,
-            nprobe=min(self.config.nprobe, self.config.nlist),
-            probe_cap=cap,
-            k=c_adc,
-            metric=self.metric,
-            packed_u4=self.config.ks <= 16,
-        )
-        if self.config.rerank:
-            dist, ids = rerank_rows(
+        nprobe = min(self.config.nprobe, self.config.nlist)
+        if _use_pallas_ivf():
+            # Pallas scalar-prefetch ADC kernel (kernels/adc_probe): codes
+            # stream block-by-block from HBM, packed u4 unpacks in VMEM;
+            # exact rerank of the ADC top-C fused into the same jit
+            from vectorindex_tpu.kernels.adc_probe import ivf_search_pq_pallas
+
+            dist, ids = ivf_search_pq_pallas(
                 jnp.asarray(q),
-                ids,
-                slot_rows,
-                arrays.vecs,
-                arrays.sqnorms,
+                jnp.asarray(self._centroids),
+                arrays,
+                codes,
+                tcorr,
+                self._books,
+                nprobe=nprobe,
+                probe_cap=cap,
                 k=kk,
                 metric=self.metric,
+                packed_u4=self.config.ks <= 16,
+                rerank_c=(self.config.rerank_c if self.config.rerank else 0),
             )
+        else:
+            from vectorindex_tpu.ops.ivf_pq import ivf_search_pq, rerank_rows
+
+            c_adc = max(kk, self.config.rerank_c if self.config.rerank else kk)
+            c_adc = min(c_adc, self.count)
+            dist, ids = ivf_search_pq(
+                jnp.asarray(q),
+                jnp.asarray(self._centroids),
+                arrays,
+                codes,
+                self._books,
+                nprobe=nprobe,
+                probe_cap=cap,
+                k=c_adc,
+                metric=self.metric,
+                packed_u4=self.config.ks <= 16,
+            )
+            if self.config.rerank:
+                dist, ids = rerank_rows(
+                    jnp.asarray(q),
+                    ids,
+                    slot_rows,
+                    arrays.vecs,
+                    arrays.sqnorms,
+                    k=kk,
+                    metric=self.metric,
+                )
         dist, ids = np.asarray(dist), np.asarray(ids)
 
         scores = self._public_score(dist)

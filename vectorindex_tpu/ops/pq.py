@@ -141,11 +141,14 @@ def residuals(x: Array, coarse_centroids: Array, assignments: Array) -> Array:
 
 
 @partial(jax.jit, static_argnames=("chunk",))
+@partial(jax.jit, static_argnames=("chunk",))
 def pq_encode(x: Array, books: PQCodebooks, chunk: int = 4096) -> Array:
     """Encode rows → codes [n, m] (u8). Nearest centroid per subspace via the
     dot-trick on the MXU (reference pq_encode_u8_f32 withCSQ — the cached
     codebook sq-norms are books.sqnorms, cpq_encode.h:54-64). Chunked over
-    rows so the [chunk, m, ks] distance tensor stays small."""
+    rows so the [chunk, m, ks] distance tensor stays small. Jitted: an eager
+    lax.map under the remote-compile platform pays a fresh scan compile per
+    distinct call chain."""
     n, d = x.shape
     m, ks, dsub = books.centroids.shape
     pad = (-n) % chunk
