@@ -230,14 +230,16 @@ def bench_adc(iters: int = 20):
 
 def bench_ivf(iters: int = 40):
     from vectorindex_tpu.bench.synth import (
-        clustered_corpus,
         exact_truth,
+        lowdim_corpus,
+        lowdim_queries,
         pack_ivf,
         recall_at_k,
     )
     from vectorindex_tpu.bench.timing import time_loop
     from vectorindex_tpu.kernels.ivf_probe import ivf_search_flat_pallas
     from vectorindex_tpu.kernels.scan_fused import pad_corpus, scan_topk_fused
+    from vectorindex_tpu.ops import kmeans as km
     from vectorindex_tpu.utils.config import Metric
 
     n, d, nlist, b = 1_000_000, 128, 1024, 8
@@ -245,14 +247,27 @@ def bench_ivf(iters: int = 40):
     # hundreds of in-jit iterations or tunnel noise (±25% of the ~50 ms call
     # overhead) swamps the signal
     m = max(400, iters)
-    x, centers, assign = clustered_corpus(n, d, nlist=nlist, seed=21)
+    # SIFT-like intrinsic-dim-16 corpus + a REAL k-means quantizer (the
+    # production path; a generator-aligned quantizer makes nprobe=1 recall
+    # 1.0 and the sweep meaningless)
+    x, W = lowdim_corpus(n, d, dz=16, seed=21)
+    t0 = time.perf_counter()
+    res = km.kmeans(
+        jnp.asarray(x),
+        km.KMeansConfig(
+            k=nlist, iters=60, algo="minibatch", batch_size=65536, seed=42
+        ),
+    )
+    assign = np.asarray(res.assignments)
+    centers = np.asarray(res.centroids)
+    t_kmeans = time.perf_counter() - t0
     # f32 storage: the reference's IVF-Flat contract is exact-within-probed
-    # lists (bf16 storage caps recall ~0.95 on near-duplicate-heavy data)
+    # lists (bf16 storage caps recall ~0.95 on near-tie-heavy data)
     arrays, order, probe_cap = pack_ivf(x, assign, nlist, storage_dtype=jnp.float32)
     cent = jnp.asarray(centers)
 
     n_eval = 256
-    qs = _noisy_queries(x, max((m + 1) * b, n_eval))
+    qs = lowdim_queries(W, max((m + 1) * b, n_eval))
     qpool = jnp.asarray(qs)
     truth = exact_truth(qs[:n_eval], x, K)
 
@@ -310,6 +325,7 @@ def bench_ivf(iters: int = 40):
             "sweep": sweep,
             "flat_fused_qps_b8": round(b / t_flat, 1),
             "ivf_speedup_vs_flat": round(t_flat * best["qps"] / b, 2),
+            "kmeans_train_s": round(t_kmeans, 1),
         }
     )
     del arrays, qpool, xp
@@ -337,7 +353,13 @@ def bench_ivfpq(
     from vectorindex_tpu.kernels.scan_fused import pad_corpus, scan_topk_fused
     from vectorindex_tpu.utils.config import Metric
 
-    b, m, m_pq = 256, iters, 16
+    # serving batch: at B=256 the per-(query, probe) kernel wastes the MXU
+    # on the full query batch AND the bf16 fused flat scan is itself at the
+    # compute/bandwidth balance point, so large-batch ADC can't win on a
+    # corpus that still fits HBM. PQ's wins on TPU are capacity (20x rows
+    # per chip) and small-batch serving latency — measure the latter.
+    b, m_pq = 8, 16
+    m = max(400, iters)
     t0 = time.perf_counter()
     x, centers, assign = clustered_corpus(n, d, nlist=nlist, seed=31)
     arrays, order, probe_cap = pack_ivf(x, assign, nlist)
@@ -407,9 +429,12 @@ def bench_ivfpq(
             sd, si, _ = scan_topk_fused(q, xp, sp, vp, metric=Metric.L2, k=K)
             return jnp.sum(sd), jnp.sum(si)
 
-        t_flat, _ = time_loop(flat, qpool, b, max(4, m // 4), args=(xp, sp, vp))
+        t_flat, _ = time_loop(flat, qpool, b, max(40, m // 4), args=(xp, sp, vp))
         out["flat_fused_qps"] = round(b / t_flat, 1)
         out["crossover"] = bool(best["qps"] > b / t_flat and best["recall_at_10"] >= 0.9)
+        # the capacity story: bytes per row resident in HBM
+        out["bytes_per_row_flat_bf16"] = 2 * d
+        out["bytes_per_row_ivfpq"] = m_pq + 4 + 4  # codes + tcorr + row_id
         del xp
 
     emit(out)
@@ -425,12 +450,17 @@ def bench_ivfpq(
 def bench_hnsw(n: int = 100_000, d: int = 128):
     import dataclasses
 
-    from vectorindex_tpu.bench.synth import clustered_corpus, exact_truth, recall_at_k
+    from vectorindex_tpu.bench.synth import (
+        exact_truth,
+        lowdim_corpus,
+        lowdim_queries,
+        recall_at_k,
+    )
     from vectorindex_tpu.bench.timing import time_host
     from vectorindex_tpu.models.hnsw import HNSWConfig, HNSWIndex
     from vectorindex_tpu.utils.config import Metric
 
-    x, _, _ = clustered_corpus(n, d, nlist=256, seed=41)
+    x, W = lowdim_corpus(n, d, dz=16, seed=41)
     idx = HNSWIndex(d, Metric.L2, HNSWConfig())
     t0 = time.perf_counter()
     idx.insert_batch([str(i) for i in range(n)], x)
@@ -438,7 +468,7 @@ def bench_hnsw(n: int = 100_000, d: int = 128):
     t_build = time.perf_counter() - t0
 
     b = 256
-    qs = _noisy_queries(x, b)
+    qs = lowdim_queries(W, b)
     truth = exact_truth(qs, x, K)
 
     sweep = []

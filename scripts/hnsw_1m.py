@@ -24,13 +24,18 @@ def main():
     p.add_argument("--out", type=str, default="docs/HNSW_1M.json")
     args = p.parse_args()
 
-    from vectorindex_tpu.bench.synth import clustered_corpus, exact_truth, recall_at_k
+    from vectorindex_tpu.bench.synth import (
+        exact_truth,
+        lowdim_corpus,
+        lowdim_queries,
+        recall_at_k,
+    )
     from vectorindex_tpu.bench.timing import time_host
     from vectorindex_tpu.models.hnsw import HNSWConfig, HNSWIndex
     from vectorindex_tpu.utils.config import Metric
 
     n, d = args.n, args.d
-    x, _, _ = clustered_corpus(n, d, nlist=1024, seed=41)
+    x, W = lowdim_corpus(n, d, dz=16, seed=41)
     cfg = HNSWConfig(build_chunk=args.chunk)
     idx = HNSWIndex(d, Metric.L2, cfg)
 
@@ -43,9 +48,7 @@ def main():
           f" max_level={stats.details['max_level']}", flush=True)
 
     b = 256
-    rng = np.random.default_rng(9)
-    qi = rng.choice(n, b, replace=False)
-    q = (x[qi] + 0.02 * rng.standard_normal((b, d))).astype(np.float32)
+    q = lowdim_queries(W, b)
     truth = exact_truth(q, x, 10)
 
     sweep = []

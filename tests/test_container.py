@@ -313,3 +313,81 @@ def test_readonly_mutations_rejected(tmp_path):
         gen = c.generation
         c.bump_generation()  # silently ignored on read-only handles
         assert c.generation == gen
+
+
+def test_flat_container_roundtrip(tmp_path):
+    """ROADMAP #7: Flat index binary-container tier."""
+    import numpy as np
+
+    from vectorindex_tpu.models.flat import FlatIndex
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((40, 12)).astype(np.float32)
+    idx = FlatIndex(12)
+    for i in range(40):
+        idx.insert(f"v{i}", x[i], {"i": i})
+    idx.remove("v7")
+    p = str(tmp_path / "flat.vx")
+    idx.save_container(p)
+    loaded = FlatIndex.load_container(p)
+    assert loaded.count == 39
+    r = loaded.search(x[3], 1)[0]
+    assert r.id == "v3" and r.metadata == {"i": 3}
+    assert not loaded.contains("v7")
+    # mutations keep working after load (free-list restored)
+    loaded.insert("new", x[7])
+    assert loaded.search(x[7], 1)[0].id == "new"
+
+
+def test_hnsw_container_roundtrip_no_rebuild(tmp_path):
+    """ROADMAP #7: the graph itself persists — load must NOT reconstruct
+    (identical neighbor tables, identical search results)."""
+    import numpy as np
+
+    from vectorindex_tpu.models.hnsw import HNSWConfig, HNSWIndex
+    from vectorindex_tpu.utils.config import Metric
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((300, 16)).astype(np.float32)
+    idx = HNSWIndex(16, Metric.L2, HNSWConfig(m=6, ef_construction=32, build_chunk=64))
+    idx.insert_batch([f"v{i}" for i in range(300)], x)
+    idx.statistics()
+    p = str(tmp_path / "hnsw.vx")
+    idx.save_container(p)
+    loaded = HNSWIndex.load_container(p)
+    # graph state identical — no reconstruction happened
+    assert loaded._entry == idx._entry
+    assert len(loaded._layers) == len(idx._layers)
+    for la, lb in zip(idx._layers, loaded._layers):
+        assert la.node_ids == lb.node_ids
+        assert (la.nbrs[: la.count] == lb.nbrs[: lb.count]).all()
+    assert not loaded._pending
+    # identical results
+    q = x[:16]
+    ra = idx.batch_search(q, 5)
+    rb = loaded.batch_search(q, 5)
+    assert [[r.id for r in row] for row in ra] == [
+        [r.id for r in row] for row in rb
+    ]
+
+
+def test_hnsw_container_tombstones_and_growth(tmp_path):
+    import numpy as np
+
+    from vectorindex_tpu.models.hnsw import HNSWConfig, HNSWIndex
+    from vectorindex_tpu.utils.config import Metric
+
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((120, 16)).astype(np.float32)
+    idx = HNSWIndex(16, Metric.L2, HNSWConfig(m=4, ef_construction=24, build_chunk=32))
+    idx.insert_batch([f"v{i}" for i in range(120)], x)
+    idx.remove("v3")
+    idx.statistics()
+    p = str(tmp_path / "h2.vx")
+    idx.save_container(p)
+    loaded = HNSWIndex.load_container(p)
+    assert not loaded.contains("v3")
+    assert all(r.id != "v3" for r in loaded.search(x[3], 10))
+    # inserts continue after load
+    loaded.insert("w0", x[3] + 4.0)
+    assert loaded.search(x[3] + 4.0, 1)[0].id == "w0"

@@ -468,6 +468,23 @@ class FlatIndex(VectorIndex):
     # persistence (JSON tier — reference Persistence.swift)
     # ------------------------------------------------------------------
 
+    def save_container(self, path: str) -> None:
+        """Binary-container tier (ROADMAP #7): CRC'd mmap sections instead
+        of the JSON snapshot — same contract, zero-parse load."""
+        from vectorindex_tpu.persistence.container_index import (
+            save_flat_container,
+        )
+
+        save_flat_container(self, path)
+
+    @classmethod
+    def load_container(cls, path: str) -> "FlatIndex":
+        from vectorindex_tpu.persistence.container_index import (
+            load_flat_container,
+        )
+
+        return load_flat_container(path)
+
     def save(self, path: str) -> None:
         records = [
             PersistedRecord(

@@ -1078,6 +1078,24 @@ class HNSWIndex(VectorIndex):
             ),
         )
 
+    def save_container(self, path: str) -> None:
+        """Binary-container tier (ROADMAP #7): persists the GRAPH itself, so
+        load skips the reconstruction the reference pays
+        (HNSWIndex.swift:755-781 rebuilds by reinsertion)."""
+        from vectorindex_tpu.persistence.container_index import (
+            save_hnsw_container,
+        )
+
+        save_hnsw_container(self, path)
+
+    @classmethod
+    def load_container(cls, path: str) -> "HNSWIndex":
+        from vectorindex_tpu.persistence.container_index import (
+            load_hnsw_container,
+        )
+
+        return load_hnsw_container(path)
+
     @classmethod
     def load(cls, path: str) -> "HNSWIndex":
         snap = load_snapshot(path, expected_type=cls.TYPE)

@@ -46,6 +46,9 @@ class SectionType(enum.IntEnum):
     FREELIST = 13
     WAL = 14
     META = 15
+    GRAPH_NBRS = 16  # per-layer fixed-degree neighbor tables (nth = layer)
+    GRAPH_NODES = 17  # per-layer row -> slot tables (nth = layer)
+    LEVELS = 18  # per-slot level assignment
 
 
 # dtype tags stored in the section descriptor
