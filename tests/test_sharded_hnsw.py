@@ -99,3 +99,35 @@ def test_global_ids_passthrough(mesh8):
     )
     ids = np.asarray(ids)
     assert (ids[:, 0] == gids[:8]).all()
+
+
+def test_sharded_hnsw_model_end_to_end(mesh8, tmp_path):
+    """Model-level surface: CRUD + search + filter + save/load."""
+    import numpy as np
+
+    from vectorindex_tpu.models.sharded import ShardedHNSWIndex
+
+    rng = np.random.default_rng(21)
+    x = rng.standard_normal((800, 24)).astype(np.float32)
+    idx = ShardedHNSWIndex(24, Metric.L2, CFG)
+    idx.insert_batch(
+        [f"v{i}" for i in range(800)], x, [{"par": i % 2} for i in range(800)]
+    )
+    res = idx.search(x[5], 3)
+    assert res[0].id == "v5"
+    # tombstone filter
+    idx.remove("v5")
+    res = idx.search(x[5], 3)
+    assert all(r.id != "v5" for r in res)
+    # metadata filter
+    res = idx.batch_search(x[:4], 5, filter=lambda m: m and m["par"] == 1)
+    for row in res:
+        assert all(r.metadata["par"] == 1 for r in row)
+    # persistence round-trip (rebuild on load)
+    p = str(tmp_path / "sh.json")
+    idx.save(p)
+    loaded = ShardedHNSWIndex.load(p)
+    assert loaded.count == 799
+    assert loaded.search(x[6], 1)[0].id == "v6"
+    st = loaded.statistics()
+    assert st.details["n_shards"] == len(jax.devices())

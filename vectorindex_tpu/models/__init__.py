@@ -14,7 +14,10 @@ from vectorindex_tpu.models.ivf import (  # noqa: F401
     IVFPQConfig,
     IVFPQIndex,
 )
-from vectorindex_tpu.models.sharded import ShardedFlatIndex  # noqa: F401
+from vectorindex_tpu.models.sharded import (  # noqa: F401
+    ShardedFlatIndex,
+    ShardedHNSWIndex,
+)
 from vectorindex_tpu.models import accel  # noqa: F401
 
 
@@ -29,6 +32,7 @@ def load_index(path: str):
     cls = {
         FlatIndex.TYPE: FlatIndex,
         ShardedFlatIndex.TYPE: ShardedFlatIndex,
+        ShardedHNSWIndex.TYPE: ShardedHNSWIndex,
         HNSWIndex.TYPE: HNSWIndex,
         IVFIndex.TYPE: IVFIndex,
         IVFPQIndex.TYPE: IVFPQIndex,

@@ -144,3 +144,237 @@ class ShardedFlatIndex(FlatIndex):
         st.details["n_shards"] = self.n_shards
         st.details["mesh"] = str(self.mesh.shape)
         return st
+
+
+class ShardedHNSWIndex(VectorIndex):
+    """Graph index served from per-shard subgraphs with ICI top-k merge
+    (BASELINE config 5's model-level surface; ops in parallel/sharded_hnsw).
+
+    Bulk-build semantics: inserts buffer on the host; the first search after
+    a mutation (re)builds the per-shard graphs — the production sharded-ANN
+    layout where serving replicas load immutable graph shards. Removals are
+    tombstones filtered at result assembly (the searches over-fetch).
+    """
+
+    TYPE = "sharded_hnsw"
+
+    def __init__(
+        self,
+        dimension: int,
+        metric: Metric = Metric.L2,
+        config=None,
+        n_devices: Optional[int] = None,
+    ):
+        from vectorindex_tpu.models.hnsw import HNSWConfig
+
+        if metric not in (Metric.L2, Metric.INNER_PRODUCT, Metric.COSINE):
+            raise ValueError(f"sharded HNSW supports L2/IP/cosine, got {metric}")
+        self.dimension = dimension
+        self.metric = metric
+        self.config = config or HNSWConfig()
+        self.mesh = make_mesh(n_devices)
+        self.n_shards = int(self.mesh.devices.size)
+        self._vectors: list[np.ndarray] = []
+        self._ids: list[VectorID] = []
+        self._metadata: list[Metadata] = []
+        self._id_to_row: dict = {}
+        self._dead: set[int] = set()
+        self._state = None  # parallel.sharded_hnsw.ShardedHNSWState
+        self._built_rows = 0
+
+    # -- CRUD ----------------------------------------------------------
+
+    @property
+    def count(self) -> int:
+        return len(self._ids) - len(self._dead)
+
+    def insert(self, id: VectorID, vector, metadata: Metadata = None) -> None:
+        from vectorindex_tpu.utils.errors import dimension_mismatch, duplicate_id
+
+        if id in self._id_to_row:
+            raise duplicate_id(id, "sharded_hnsw.insert")
+        v = np.asarray(vector, dtype=np.float32).reshape(-1)
+        if v.shape[0] != self.dimension:
+            raise dimension_mismatch(self.dimension, v.shape[0], "sharded_hnsw")
+        self._id_to_row[id] = len(self._ids)
+        self._ids.append(id)
+        self._vectors.append(v)
+        self._metadata.append(metadata)
+        self._state = None
+
+    def insert_batch(self, ids, vectors, metadatas=None) -> None:
+        vectors = np.asarray(vectors, dtype=np.float32)
+        for i, id_ in enumerate(ids):
+            self.insert(
+                id_, vectors[i], None if metadatas is None else metadatas[i]
+            )
+
+    def remove(self, id: VectorID) -> None:
+        from vectorindex_tpu.utils.errors import not_found
+
+        row = self._id_to_row.pop(id, None)
+        if row is None:
+            raise not_found(id, "sharded_hnsw.remove")
+        self._dead.add(row)
+
+    def contains(self, id: VectorID) -> bool:
+        return id in self._id_to_row
+
+    def update(self, id: VectorID, vector=None, metadata: Metadata = None):
+        row = self._id_to_row[id]
+        if vector is not None:
+            meta = self._metadata[row] if metadata is None else metadata
+            self.remove(id)
+            self.insert(id, vector, meta)
+        elif metadata is not None:
+            self._metadata[row] = metadata
+
+    # -- build + search ------------------------------------------------
+
+    def _ensure_built(self):
+        from vectorindex_tpu.parallel.sharded_hnsw import build_sharded_hnsw
+
+        if self._state is not None and self._built_rows == len(self._ids):
+            return
+        x = np.stack(self._vectors) if self._vectors else np.zeros(
+            (0, self.dimension), np.float32
+        )
+        self._state = build_sharded_hnsw(
+            x, self.n_shards, self.metric, self.config,
+            global_ids=np.arange(len(self._ids), dtype=np.int64),
+        )
+        self._built_rows = len(self._ids)
+
+    def batch_search(self, queries, k: int, filter=None):
+        from vectorindex_tpu.parallel.sharded_hnsw import sharded_hnsw_search
+        from vectorindex_tpu.utils.errors import dimension_mismatch
+
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.dimension:
+            raise dimension_mismatch(self.dimension, q.shape[1], "sharded_hnsw")
+        if self.count == 0 or k <= 0:
+            return [[] for _ in range(q.shape[0])]
+        self._ensure_built()
+        qg = q
+        if self.metric == Metric.COSINE:
+            qg = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+        ef = max(self.config.ef_search, 4 * k)
+        kk = min(ef, len(self._ids))
+        _, ids = sharded_hnsw_search(
+            self.mesh, jnp.asarray(qg), self._state,
+            ef=ef, iters=-(-ef // 4), k=kk,
+        )
+        ids = np.asarray(ids)
+        out = []
+        x = np.stack(self._vectors)
+        for b in range(q.shape[0]):
+            row = []
+            for j in range(kk):
+                r = int(ids[b, j])
+                if r == INVALID_ID or r < 0:
+                    break
+                if r in self._dead:
+                    continue
+                meta = self._metadata[r]
+                if filter is not None and not filter(meta):
+                    continue
+                v = x[r]
+                if self.metric == Metric.L2:
+                    score = float(np.linalg.norm(v - q[b]))
+                elif self.metric == Metric.INNER_PRODUCT:
+                    score = float(v @ q[b])
+                else:
+                    score = float(
+                        (v @ q[b])
+                        / max(np.linalg.norm(v) * np.linalg.norm(q[b]), 1e-30)
+                    )
+                row.append(SearchResult(id=self._ids[r], score=score, metadata=meta))
+                if len(row) == k:
+                    break
+            out.append(row)
+        return out
+
+    def search(self, query, k: int, filter=None):
+        return self.batch_search(np.asarray(query)[None, :], k, filter)[0]
+
+    def statistics(self) -> IndexStats:
+        self._ensure_built()
+        return IndexStats(
+            count=self.count,
+            dimension=self.dimension,
+            metric=self.metric.value,
+            memory_bytes=int(
+                sum(v.nbytes for v in self._vectors)
+                + (self._state.nbrs.size * 4 if self._state is not None else 0)
+            ),
+            details={
+                "n_shards": self.n_shards,
+                "mesh": str(self.mesh.shape),
+                "m": self.config.m,
+                "ef_search": self.config.ef_search,
+            },
+        )
+
+    def compact(self) -> None:
+        live = [
+            (self._ids[r], self._vectors[r], self._metadata[r])
+            for r in range(len(self._ids))
+            if r not in self._dead
+        ]
+        cfg, mesh_n = self.config, self.n_shards
+        self.__init__(self.dimension, self.metric, cfg, n_devices=mesh_n)
+        for ext, v, meta in live:
+            self.insert(ext, v, meta)
+
+    def save(self, path: str) -> None:
+        from vectorindex_tpu.persistence.json_snapshot import (
+            PersistedIndex,
+            PersistedRecord,
+            save_snapshot,
+        )
+
+        records = [
+            PersistedRecord(
+                id=self._ids[r], vector=self._vectors[r], metadata=self._metadata[r]
+            )
+            for r in range(len(self._ids))
+            if r not in self._dead
+        ]
+        save_snapshot(
+            path,
+            PersistedIndex(
+                type=self.TYPE,
+                dimension=self.dimension,
+                metric=self.metric.value,
+                records=records,
+                config={
+                    "m": self.config.m,
+                    "ef_construction": self.config.ef_construction,
+                    "ef_search": self.config.ef_search,
+                    "seed": self.config.seed,
+                },
+            ),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "ShardedHNSWIndex":
+        from vectorindex_tpu.models.hnsw import HNSWConfig
+        from vectorindex_tpu.persistence.json_snapshot import load_snapshot
+
+        snap = load_snapshot(path, expected_type=cls.TYPE)
+        c = snap.config
+        idx = cls(
+            snap.dimension,
+            Metric(snap.metric),
+            HNSWConfig(
+                m=c.get("m", 16),
+                ef_construction=c.get("ef_construction", 200),
+                ef_search=c.get("ef_search", 64),
+                seed=c.get("seed", 0xDEADBEEFCAFEBABE),
+            ),
+        )
+        for r in snap.records:
+            idx.insert(r.id, r.vector, r.metadata)
+        return idx
