@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vectorindex_tpu.kernels.ivf_probe import BLK
+from vectorindex_tpu.kernels.ivf_probe import BLK, KB
 from vectorindex_tpu.ops.topk import INVALID_DIST, INVALID_ID, topk
 from vectorindex_tpu.utils.config import Metric
 
@@ -60,20 +60,22 @@ def _adc_probe_kernel(
     qi = t // nprobe
     sb = sb_ref[t]
     nrows = lr_ref[t]
-    nblk = pl.cdiv(nrows, BLK)
+    nch = pl.cdiv(pl.cdiv(nrows, BLK), KB)  # KB-block DMA chunks
     out_ref[:] = jnp.full(out_ref.shape, INVALID_DIST, jnp.float32)
 
-    def code_dma(b, slot):
+    def code_dma(c, slot):
         return pltpu.make_async_copy(
-            codes_ref.at[sb + b], cbuf.at[slot], sems.at[slot, 0]
+            codes_ref.at[pl.ds(sb + c * KB, KB)], cbuf.at[slot],
+            sems.at[slot, 0],
         )
 
-    def t_dma(b, slot):
+    def t_dma(c, slot):
         return pltpu.make_async_copy(
-            tcorr_ref.at[sb + b], tbuf.at[slot], sems.at[slot, 1]
+            tcorr_ref.at[pl.ds(sb + c * KB, KB)], tbuf.at[slot],
+            sems.at[slot, 1],
         )
 
-    @pl.when(nblk > 0)
+    @pl.when(nch > 0)
     def _():
         code_dma(0, 0).start()
         t_dma(0, 0).start()
@@ -84,46 +86,49 @@ def _adc_probe_kernel(
     ).astype(jnp.float32)  # [B, 1]
     lut = lut_ref[:]  # [B, m·ks] stationary across the whole grid
 
-    def body(b, carry):
-        slot = jax.lax.rem(b, 2)
+    def body(c, carry):
+        slot = jax.lax.rem(c, 2)
 
-        @pl.when(b + 1 < nblk)
+        @pl.when(c + 1 < nch)
         def _():
-            code_dma(b + 1, 1 - slot).start()
-            t_dma(b + 1, 1 - slot).start()
+            code_dma(c + 1, 1 - slot).start()
+            t_dma(c + 1, 1 - slot).start()
 
-        code_dma(b, slot).wait()
-        t_dma(b, slot).wait()
-        raw = cbuf[slot].astype(jnp.int32)  # [mb, BLK] (block-transposed:
-        # codes need BLK on the lane axis — a 16-byte lane dim violates the
-        # (32, 128) u8 tiling for DMA slices)
-        if packed_u4:
-            lo = raw & 0xF
-            hi = raw >> 4
-            codes = jnp.concatenate([lo, hi], axis=0)  # [m, BLK] lo|hi order
-        else:
-            codes = raw
-        # code-major transposed one-hot (adc.py pattern): pltpu.repeat tiles
-        # the whole array, so row f encodes (subspace f % m, code f // m) —
-        # the caller flattens the LUT code-major (lo|hi-permuted for u4).
-        codes_rep = pltpu.repeat(codes, ks, axis=0)  # [m·ks, BLK]
-        val = jax.lax.broadcasted_iota(jnp.int32, (m * ks, BLK), 0) // m
-        onehot = (codes_rep == val).astype(mxu_dtype)
-        g_all = jax.lax.dot_general(
-            lut,
-            onehot,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [B, BLK]
-        g = jnp.sum(g_all * sel, axis=0, keepdims=True)  # [1, BLK]
-        dist = g + tbuf[slot]
-        live = nrows - b * BLK
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
-        dist = jnp.where(lane < live, dist, INVALID_DIST)
-        out_ref[0, :, pl.ds(b * BLK, BLK)] = dist
+        code_dma(c, slot).wait()
+        t_dma(c, slot).wait()
+        for j in range(KB):  # per 256-row sub-block (static unroll)
+            b = c * KB + j
+            raw = cbuf[slot, j].astype(jnp.int32)  # [mb, BLK] (block-
+            # transposed: codes need BLK on the lane axis — a 16-byte lane
+            # dim violates the (32, 128) u8 tiling for DMA slices)
+            if packed_u4:
+                lo = raw & 0xF
+                hi = raw >> 4
+                codes = jnp.concatenate([lo, hi], axis=0)  # [m, BLK] lo|hi
+            else:
+                codes = raw
+            # code-major transposed one-hot (adc.py pattern): pltpu.repeat
+            # tiles the whole array, so row f encodes (subspace f % m, code
+            # f // m) — the caller flattens the LUT code-major
+            # (lo|hi-permuted for u4).
+            codes_rep = pltpu.repeat(codes, ks, axis=0)  # [m·ks, BLK]
+            val = jax.lax.broadcasted_iota(jnp.int32, (m * ks, BLK), 0) // m
+            onehot = (codes_rep == val).astype(mxu_dtype)
+            g_all = jax.lax.dot_general(
+                lut,
+                onehot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [B, BLK]
+            g = jnp.sum(g_all * sel, axis=0, keepdims=True)  # [1, BLK]
+            dist = g + tbuf[slot, j]
+            live = nrows - b * BLK
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
+            dist = jnp.where(lane < live, dist, INVALID_DIST)
+            out_ref[0, :, pl.ds(b * BLK, BLK)] = dist
         return carry
 
-    jax.lax.fori_loop(0, nblk, body, 0)
+    jax.lax.fori_loop(0, nch, body, 0)
 
 
 @partial(
@@ -149,9 +154,12 @@ def adc_probe_scores(
     b = lut_q.shape[0]
     n_pad, mb = codes.shape
     assert probe_cap % BLK == 0 and n_pad % BLK == 0
+    cap_rows = -(-probe_cap // (KB * BLK)) * (KB * BLK)
     t = b * nprobe
     nb = n_pad // BLK
     # block-transpose: [NB, mb, BLK] keeps the 256 rows on the lane axis
+    # packers allocate KB-1 trailing guard blocks (see kernels/ivf_probe) —
+    # padding here would copy the code array every search call
     codes_blocked = codes.reshape(nb, BLK, mb).transpose(0, 2, 1)
     tcorr_blocked = tcorr.astype(jnp.float32).reshape(nb, 1, BLK)
     start_blk = (start_rows // BLK).reshape(t).astype(jnp.int32)
@@ -180,12 +188,12 @@ def adc_probe_scores(
             pl.BlockSpec(memory_space=pltpu.HBM),  # tcorr
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, probe_cap), lambda i, sb, lr: (i, 0, 0),
+            (1, 1, cap_rows), lambda i, sb, lr: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, mb, BLK), jnp.uint8),
-            pltpu.VMEM((2, 1, BLK), jnp.float32),
+            pltpu.VMEM((2, KB, mb, BLK), jnp.uint8),
+            pltpu.VMEM((2, KB, 1, BLK), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -195,13 +203,14 @@ def adc_probe_scores(
             nprobe=nprobe, m=m, ks=ks, packed_u4=packed_u4,
             mxu_dtype=mxu_dtype,
         ),
-        out_shape=jax.ShapeDtypeStruct((t, 1, probe_cap), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t, 1, cap_rows), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
     )(start_blk, lens, lut_flat, codes_blocked, tcorr_blocked)
+    out = out.reshape(b, nprobe, cap_rows)[:, :, :probe_cap]
     return out.reshape(b, nprobe * probe_cap)
 
 

@@ -39,6 +39,9 @@ from vectorindex_tpu.utils.config import Metric
 Array = jax.Array
 
 BLK = 256  # rows per DMA block == the CSR packer's minimum list capacity
+KB = 4  # blocks per DMA: fewer sequential waits (the grid is DMA-latency
+#         bound at serving batch sizes — 256-row copies leave the engine
+#         idle between waits; 1024-row copies quarter the wait chain)
 
 
 def _probe_kernel(
@@ -66,21 +69,21 @@ def _probe_kernel(
     qrow = q_ref[pl.ds(qi, 1), :].astype(jnp.float32)  # [1, d]
     sb = sb_ref[t]
     nrows = lr_ref[t]
-    nblk = pl.cdiv(nrows, BLK)
+    nch = pl.cdiv(pl.cdiv(nrows, BLK), KB)  # KB-block DMA chunks
     # dead slots (tail of the last live block + unreached blocks) sort last
     out_ref[:] = jnp.full(out_ref.shape, INVALID_DIST, jnp.float32)
 
-    def vec_dma(b, slot):
+    def vec_dma(c, slot):
         return pltpu.make_async_copy(
-            vecs_ref.at[sb + b], buf.at[slot], sems.at[slot, 0]
+            vecs_ref.at[pl.ds(sb + c * KB, KB)], buf.at[slot], sems.at[slot, 0]
         )
 
-    def sqn_dma(b, slot):
+    def sqn_dma(c, slot):
         return pltpu.make_async_copy(
-            sqn_ref.at[sb + b], sbuf.at[slot], sems.at[slot, 1]
+            sqn_ref.at[pl.ds(sb + c * KB, KB)], sbuf.at[slot], sems.at[slot, 1]
         )
 
-    @pl.when(nblk > 0)
+    @pl.when(nch > 0)
     def _():
         vec_dma(0, 0).start()
         sqn_dma(0, 0).start()
@@ -92,42 +95,47 @@ def _probe_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (nq, 1), 0) == qi
     ).astype(jnp.float32)  # [B, 1]
 
-    def body(b, carry):
-        slot = jax.lax.rem(b, 2)
+    def body(c, carry):
+        slot = jax.lax.rem(c, 2)
 
-        @pl.when(b + 1 < nblk)
+        @pl.when(c + 1 < nch)
         def _():
-            vec_dma(b + 1, 1 - slot).start()
-            sqn_dma(b + 1, 1 - slot).start()
+            vec_dma(c + 1, 1 - slot).start()
+            sqn_dma(c + 1, 1 - slot).start()
 
-        vec_dma(b, slot).wait()
-        sqn_dma(b, slot).wait()
-        x = buf[slot]  # [BLK, d] storage dtype (bf16 fast path)
-        g_all = jax.lax.dot_general(
-            qx,
-            x,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [B, BLK]
-        g = jnp.sum(g_all * sel, axis=0, keepdims=True)  # [1, BLK]
-        s = sbuf[slot]  # [1, BLK]
-        if metric == Metric.L2:
-            dist = qn + s - 2.0 * g
-        elif metric == Metric.INNER_PRODUCT:
-            dist = -g
-        elif metric == Metric.COSINE:
-            qinv = jax.lax.rsqrt(jnp.maximum(qn, 1e-30))
-            xinv = jnp.where(s > 0, jax.lax.rsqrt(jnp.maximum(s, 1e-30)), 0.0)
-            dist = 1.0 - g * qinv * xinv
-        else:
-            raise ValueError(f"unsupported metric {metric}")
-        live = nrows - b * BLK
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
-        dist = jnp.where(lane < live, dist, INVALID_DIST)
-        out_ref[0, :, pl.ds(b * BLK, BLK)] = dist
+        vec_dma(c, slot).wait()
+        sqn_dma(c, slot).wait()
+        for j in range(KB):  # score per 256-row sub-block (static unroll —
+            # one big [KB·BLK] matmul needs a lane-axis relayout instead)
+            b = c * KB + j
+            x = buf[slot, j]  # [BLK, d] storage dtype (bf16 fast path)
+            g_all = jax.lax.dot_general(
+                qx,
+                x,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [B, BLK]
+            g = jnp.sum(g_all * sel, axis=0, keepdims=True)  # [1, BLK]
+            s = sbuf[slot, j]  # [1, BLK]
+            if metric == Metric.L2:
+                dist = qn + s - 2.0 * g
+            elif metric == Metric.INNER_PRODUCT:
+                dist = -g
+            elif metric == Metric.COSINE:
+                qinv = jax.lax.rsqrt(jnp.maximum(qn, 1e-30))
+                xinv = jnp.where(
+                    s > 0, jax.lax.rsqrt(jnp.maximum(s, 1e-30)), 0.0
+                )
+                dist = 1.0 - g * qinv * xinv
+            else:
+                raise ValueError(f"unsupported metric {metric}")
+            live = nrows - b * BLK
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
+            dist = jnp.where(lane < live, dist, INVALID_DIST)
+            out_ref[0, :, pl.ds(b * BLK, BLK)] = dist
         return carry
 
-    jax.lax.fori_loop(0, nblk, body, 0)
+    jax.lax.fori_loop(0, nch, body, 0)
 
 
 @partial(
@@ -151,9 +159,15 @@ def ivf_probe_scores(
     start_rows[b, p // probe_cap] + p % probe_cap."""
     b, d = q.shape
     assert probe_cap % BLK == 0 and vecs.shape[0] % BLK == 0
-    cap_rows = probe_cap
+    # KB-block DMA chunks: the candidate region and the source arrays must
+    # both absorb the chunk overshoot (masked, never scored live)
+    cap_rows = -(-probe_cap // (KB * BLK)) * (KB * BLK)
     t = b * nprobe
     nb = vecs.shape[0] // BLK
+    # CONTRACT: the packers (ops/ivf.IVFListStore._repack, bench/synth
+    # .pack_ivf) allocate KB-1 trailing guard blocks so the KB-block DMA
+    # chunks never overrun the array — padding here would copy the whole
+    # corpus per search call
     vecs_blocked = vecs.reshape(nb, BLK, d)
     sqn_blocked = sqnorms.astype(jnp.float32).reshape(nb, 1, BLK)
     start_blk = (start_rows // BLK).reshape(t).astype(jnp.int32)
@@ -178,8 +192,8 @@ def ivf_probe_scores(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, BLK, d), vecs.dtype),
-            pltpu.VMEM((2, 1, BLK), jnp.float32),
+            pltpu.VMEM((2, KB, BLK, d), vecs.dtype),
+            pltpu.VMEM((2, KB, 1, BLK), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -192,6 +206,7 @@ def ivf_probe_scores(
             dimension_semantics=("arbitrary",),
         ),
     )(start_blk, lens, q.astype(jnp.float32), vecs_blocked, sqn_blocked)
+    out = out.reshape(b, nprobe, cap_rows)[:, :, :probe_cap]
     return out.reshape(b, nprobe * probe_cap)
 
 
@@ -228,7 +243,9 @@ def ivf_search_flat_pallas(
     _, probe_lists = ivf_select(q, centroids, nprobe=nprobe, metric=metric)
     vecs, sqn = arrays.vecs, arrays.sqnorms
     pad = (-vecs.shape[0]) % BLK
-    if pad:  # only possible for degenerate/tiny stores (packer emits 256s)
+    if pad:  # only possible for degenerate/tiny stores (packer emits 256s
+        # plus the KB-1 guard blocks; see adc_probe for the contract)
+        pad += (KB - 1) * BLK
         vecs = jnp.concatenate(
             [vecs, jnp.zeros((pad, d), vecs.dtype)], axis=0
         )

@@ -201,6 +201,12 @@ class IVFListStore:
         for i in range(self.n_lists):
             starts[i] = total
             total += int(self._caps[i])
+        # trailing guard blocks: the Pallas probe kernels DMA KB blocks per
+        # wait, so a short last list must have KB-1 blocks of dead rows
+        # behind it (kernels/ivf_probe.KB; overshoot is lane-masked)
+        from vectorindex_tpu.kernels.ivf_probe import BLK as _BLK, KB as _KB
+
+        total += (_KB - 1) * _BLK
         vecs = np.zeros((max(total, 1), self.dim), dtype=np.float32)
         row_ids = np.full(max(total, 1), -1, dtype=np.int32)
         for i in range(self.n_lists):
