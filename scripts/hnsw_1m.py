@@ -11,9 +11,13 @@ Run:  python scripts/hnsw_1m.py [--n 1000000] [--out docs/HNSW_1M.json]
 import argparse
 import dataclasses
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
