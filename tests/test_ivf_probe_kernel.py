@@ -118,3 +118,57 @@ def test_strict_tie_contract():
         interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(ids)[0], np.arange(5))
+
+
+def test_rank_major_matches_pair_kernel():
+    """Rank-major scores (serving-batch grid) == per-pair scores."""
+    import numpy as np
+
+    from vectorindex_tpu.bench.synth import clustered_corpus, pack_ivf
+    from vectorindex_tpu.kernels.ivf_probe import (
+        ivf_probe_scores,
+        ivf_probe_scores_rankmajor,
+    )
+    from vectorindex_tpu.ops.ivf import ivf_select
+
+    n, d, nlist, b, nprobe = 4000, 32, 16, 8, 4
+    x, centers, assign = clustered_corpus(n, d, nlist=nlist, seed=3)
+    arrays, order, probe_cap = pack_ivf(x, assign, nlist, storage_dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(x[rng.choice(n, b)] + 0.01)
+    _, pl_ = ivf_select(q, jnp.asarray(centers), nprobe=nprobe, metric=Metric.L2)
+    starts = arrays.starts[pl_]
+    lens = arrays.lengths[pl_]
+    a = ivf_probe_scores(
+        q, starts, lens, arrays.vecs, arrays.sqnorms,
+        nprobe=nprobe, probe_cap=probe_cap, metric=Metric.L2, interpret=True,
+    )
+    r = ivf_probe_scores_rankmajor(
+        q, starts, lens, arrays.vecs, arrays.sqnorms,
+        nprobe=nprobe, probe_cap=probe_cap, metric=Metric.L2, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(r), np.asarray(a), rtol=1e-5, atol=1e-5)
+
+
+def test_rank_major_end_to_end_recall():
+    """ivf_search_flat_pallas routed through the rank-major kernel (small B
+    hits the fits() gate) must stay exact within probed lists."""
+    import numpy as np
+
+    from vectorindex_tpu.bench.synth import clustered_corpus, pack_ivf
+    from vectorindex_tpu.kernels.ivf_probe import (
+        ivf_search_flat_pallas,
+        rank_major_fits,
+    )
+
+    n, d, nlist, b, k = 5000, 16, 8, 8, 5
+    x, centers, assign = clustered_corpus(n, d, nlist=nlist, seed=7)
+    arrays, order, probe_cap = pack_ivf(x, assign, nlist, storage_dtype=jnp.float32)
+    assert rank_major_fits(b, probe_cap, d, 4)
+    q = jnp.asarray(x[:b])
+    sd, si = ivf_search_flat_pallas(
+        q, jnp.asarray(centers), arrays, nprobe=nlist, probe_cap=probe_cap,
+        k=k, metric=Metric.L2, interpret=True,
+    )
+    si = np.asarray(si)
+    assert (si[:, 0] == np.arange(b)).all()  # self top-1 with all lists probed

@@ -64,14 +64,14 @@ def pack_ivf(
     Returns (arrays, order, probe_cap): `order` maps packed row -> original
     index (row_ids[row] == order[row]); probe_cap is the static per-list row
     budget for the Pallas probe kernels (256-multiple >= the longest list)."""
-    from vectorindex_tpu.kernels.ivf_probe import KB
+    from vectorindex_tpu.kernels.ivf_probe import GUARD_BLOCKS
 
     n = x.shape[0]
     lengths = np.bincount(assign, minlength=nlist).astype(np.int32)
     caps = (np.ceil(np.maximum(lengths, 1) / BLK).astype(np.int64)) * BLK
     starts = np.concatenate([[0], np.cumsum(caps)[:-1]]).astype(np.int32)
-    # trailing guard blocks for the kernels' KB-block DMA chunks
-    total = int(caps.sum()) + (KB - 1) * BLK
+    # trailing guard blocks for the kernels' chunked / rank-major DMAs
+    total = int(caps.sum()) + GUARD_BLOCKS * BLK
     order = np.argsort(assign, kind="stable").astype(np.int32)
     rows = starts[assign[order]] + (
         np.arange(n, dtype=np.int32)

@@ -42,6 +42,9 @@ BLK = 256  # rows per DMA block == the CSR packer's minimum list capacity
 KB = 4  # blocks per DMA: fewer sequential waits (the grid is DMA-latency
 #         bound at serving batch sizes — 256-row copies leave the engine
 #         idle between waits; 1024-row copies quarter the wait chain)
+GUARD_BLOCKS = 16  # trailing dead blocks the packers allocate so chunked
+#         and rank-major DMAs (up to GUARD_BLOCKS blocks past a list start)
+#         never overrun the array
 
 
 def _probe_kernel(
@@ -252,11 +255,18 @@ def ivf_search_flat_pallas(
         sqn = jnp.concatenate([sqn, jnp.zeros((pad,), sqn.dtype)])
     start_rows = arrays.starts[probe_lists]  # [B, nprobe]
     live_rows = arrays.lengths[probe_lists]
-    dist = ivf_probe_scores(
-        q, start_rows, live_rows, vecs, sqn,
-        nprobe=nprobe, probe_cap=probe_cap, metric=metric,
-        interpret=interpret,
-    )  # [B, nprobe·probe_cap]
+    if rank_major_fits(b, probe_cap, vecs.shape[1], vecs.dtype.itemsize):
+        dist = ivf_probe_scores_rankmajor(
+            q, start_rows, live_rows, vecs, sqn,
+            nprobe=nprobe, probe_cap=probe_cap, metric=metric,
+            interpret=interpret,
+        )
+    else:
+        dist = ivf_probe_scores(
+            q, start_rows, live_rows, vecs, sqn,
+            nprobe=nprobe, probe_cap=probe_cap, metric=metric,
+            interpret=interpret,
+        )  # [B, nprobe·probe_cap]
 
     # epilogue: position top-C (ties by slot position — deterministic), then
     # gather internal ids for just C rows and apply the strict (score, id)
@@ -310,3 +320,174 @@ def ivf_search_flat_pallas(
             [si, jnp.full((b, padk), INVALID_ID, si.dtype)], axis=1
         )
     return sd, si
+
+
+# ---------------------------------------------------------------------------
+# rank-major probe kernel (serving batches): one grid step per probe RANK
+# ---------------------------------------------------------------------------
+
+
+def _probe_rank_kernel(
+    sb_ref,  # scalar prefetch: [nprobe*B] i32 start block, rank-major
+    lr_ref,  # scalar prefetch: [nprobe*B] i32 live rows, rank-major
+    q_ref,  # [B, d] f32
+    vecs_ref,  # [NB, BLK, d] storage dtype, HBM
+    sqn_ref,  # [NB, 1, BLK] f32, HBM
+    out_ref,  # block [1, B, cap_rows] f32
+    buf,  # VMEM (2, B, KBR, BLK, d)
+    sbuf,  # VMEM (2, B, KBR, 1, BLK) f32
+    sems,  # DMA semaphores (2, B, 2)
+    *,
+    nprobe: int,
+    kbr: int,  # cap_rows // BLK — whole reserved region copied per query
+    metric: Metric,
+):
+    """The per-(query, probe)-pair grid costs ~2.5 µs/step in DMA latency +
+    step sequencing; at B=8, nprobe=32 that is 0.64 ms for ~8 MB of reads.
+    Rank-major: step r copies EVERY query's rank-r list concurrently (B DMAs
+    in flight), scores the whole [B·cap, d] buffer in one MXU matmul, and
+    takes the block diagonal — 8× fewer steps, latency amortized across B.
+    The copies span each list's full reserved region (kbr blocks): a few
+    dead blocks of DMA beat per-block latency chains at serving sizes."""
+    r = pl.program_id(0)
+    b = q_ref.shape[0]
+
+    def dmas(rr, slot):
+        base = rr * b
+        vec = [
+            pltpu.make_async_copy(
+                vecs_ref.at[pl.ds(sb_ref[base + j], kbr)],
+                buf.at[slot, j],
+                sems.at[slot, j, 0],
+            )
+            for j in range(b)
+        ]
+        sq = [
+            pltpu.make_async_copy(
+                sqn_ref.at[pl.ds(sb_ref[base + j], kbr)],
+                sbuf.at[slot, j],
+                sems.at[slot, j, 1],
+            )
+            for j in range(b)
+        ]
+        return vec + sq
+
+    slot = jax.lax.rem(r, 2)
+
+    @pl.when(r == 0)
+    def _():
+        for c in dmas(0, 0):
+            c.start()
+
+    @pl.when(r + 1 < nprobe)
+    def _():
+        for c in dmas(r + 1, 1 - slot):
+            c.start()
+
+    for c in dmas(r, slot):
+        c.wait()
+
+    cap = kbr * BLK
+    x = buf[slot].reshape(b * cap, q_ref.shape[1])  # [B·cap, d]
+    qx = q_ref[:].astype(vecs_ref.dtype)
+    g_all = jax.lax.dot_general(
+        qx,
+        x,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(b, b, cap)
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, b, 1), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (b, b, 1), 1)
+    ).astype(jnp.float32)
+    g = jnp.sum(g_all * eye, axis=1)  # [B, cap] — query j vs its own list
+    s = sbuf[slot].reshape(b, cap)
+    if metric == Metric.L2:
+        qn = jnp.sum(
+            jnp.square(q_ref[:].astype(jnp.float32)), axis=1, keepdims=True
+        )
+        dist = qn + s - 2.0 * g
+    elif metric == Metric.INNER_PRODUCT:
+        dist = -g
+    elif metric == Metric.COSINE:
+        qn = jnp.sum(
+            jnp.square(q_ref[:].astype(jnp.float32)), axis=1, keepdims=True
+        )
+        qinv = jax.lax.rsqrt(jnp.maximum(qn, 1e-30))
+        xinv = jnp.where(s > 0, jax.lax.rsqrt(jnp.maximum(s, 1e-30)), 0.0)
+        dist = 1.0 - g * qinv * xinv
+    else:
+        raise ValueError(f"unsupported metric {metric}")
+    live = lr_ref[pl.ds(r * b, b)].reshape(b, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, cap), 1)
+    out_ref[0] = jnp.where(lane < live, dist, INVALID_DIST)
+
+
+#: rank-major VMEM budget for the double-buffered [B, cap, d] vector tiles
+RANK_MAJOR_VMEM = 10 * 1024 * 1024
+
+
+def rank_major_fits(b: int, probe_cap: int, d: int, itemsize: int) -> bool:
+    return (
+        b <= 16
+        and probe_cap // BLK <= GUARD_BLOCKS  # DMA overshoot stays in-guard
+        and 2 * b * probe_cap * d * itemsize <= RANK_MAJOR_VMEM
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nprobe", "probe_cap", "metric", "interpret"),
+)
+def ivf_probe_scores_rankmajor(
+    q: Array,  # [B, d] f32
+    start_rows: Array,  # [B, nprobe] i32
+    live_rows: Array,  # [B, nprobe] i32
+    vecs: Array,  # [N_pad, d]
+    sqnorms: Array,  # [N_pad]
+    *,
+    nprobe: int,
+    probe_cap: int,
+    metric: Metric = Metric.L2,
+    interpret: bool = False,
+) -> Array:
+    """Rank-major probe scores → [B, nprobe·probe_cap] f32 (same contract
+    as ivf_probe_scores; chosen by the caller for serving batches)."""
+    b, d = q.shape
+    assert probe_cap % BLK == 0 and vecs.shape[0] % BLK == 0
+    kbr = probe_cap // BLK
+    nb = vecs.shape[0] // BLK
+    vecs_blocked = vecs.reshape(nb, BLK, d)
+    sqn_blocked = sqnorms.astype(jnp.float32).reshape(nb, 1, BLK)
+    # rank-major scalar tables: entry r*B + j = (query j, rank r)
+    start_blk = (start_rows // BLK).T.reshape(-1).astype(jnp.int32)
+    lens = live_rows.T.reshape(-1).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nprobe,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, b, probe_cap), lambda i, sb, lr: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, b, kbr, BLK, d), vecs.dtype),
+            pltpu.VMEM((2, b, kbr, 1, BLK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, b, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_probe_rank_kernel, nprobe=nprobe, kbr=kbr, metric=metric),
+        out_shape=jax.ShapeDtypeStruct((nprobe, b, probe_cap), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(start_blk, lens, q.astype(jnp.float32), vecs_blocked, sqn_blocked)
+    return out.transpose(1, 0, 2).reshape(b, nprobe * probe_cap)

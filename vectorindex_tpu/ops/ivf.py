@@ -204,9 +204,12 @@ class IVFListStore:
         # trailing guard blocks: the Pallas probe kernels DMA KB blocks per
         # wait, so a short last list must have KB-1 blocks of dead rows
         # behind it (kernels/ivf_probe.KB; overshoot is lane-masked)
-        from vectorindex_tpu.kernels.ivf_probe import BLK as _BLK, KB as _KB
+        from vectorindex_tpu.kernels.ivf_probe import (
+            BLK as _BLK,
+            GUARD_BLOCKS as _GB,
+        )
 
-        total += (_KB - 1) * _BLK
+        total += _GB * _BLK
         vecs = np.zeros((max(total, 1), self.dim), dtype=np.float32)
         row_ids = np.full(max(total, 1), -1, dtype=np.int32)
         for i in range(self.n_lists):
