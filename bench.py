@@ -261,9 +261,17 @@ def bench_ivf(iters: int = 40):
     assign = np.asarray(res.assignments)
     centers = np.asarray(res.centroids)
     t_kmeans = time.perf_counter() - t0
-    # f32 storage: the reference's IVF-Flat contract is exact-within-probed
-    # lists (bf16 storage caps recall ~0.95 on near-tie-heavy data)
-    arrays, order, probe_cap = pack_ivf(x, assign, nlist, storage_dtype=jnp.float32)
+    # bf16 scan + f32 rerank source: half the probe DMA, and the C-row
+    # f32-HIGHEST rerank restores the reference's exact-within-probed-lists
+    # contract over the original values
+    arrays, order, probe_cap = pack_ivf(x, assign, nlist, storage_dtype=jnp.bfloat16)
+    # rerank source must be in CSR ROW ORDER (row r holds x[row_ids[r]])
+    row_ids_np = np.asarray(arrays.row_ids)
+    rr = np.zeros((row_ids_np.shape[0], d), np.float32)
+    livem = row_ids_np >= 0
+    rr[livem] = x[row_ids_np[livem]]
+    rerank_src = jnp.asarray(rr)
+    del rr
     cent = jnp.asarray(centers)
 
     n_eval = 256
@@ -274,18 +282,18 @@ def bench_ivf(iters: int = 40):
     sweep = []
     for nprobe in (1, 8, 32):
 
-        def f(q, cent, arrays):
+        def f(q, cent, arrays, rerank_src):
             sd, si = ivf_search_flat_pallas(
-                q, cent, arrays, nprobe=nprobe, probe_cap=probe_cap, k=K,
-                metric=Metric.L2,
+                q, cent, arrays, rerank_src,
+                nprobe=nprobe, probe_cap=probe_cap, k=K, metric=Metric.L2,
             )
             return jnp.sum(sd), jnp.sum(si)
 
-        t, _ = time_loop(f, qpool, b, m, args=(cent, arrays))
+        t, _ = time_loop(f, qpool, b, m, args=(cent, arrays, rerank_src))
         found = []
         for s in range(0, n_eval, b):
             _, si = ivf_search_flat_pallas(
-                qpool[s : s + b], cent, arrays, nprobe=nprobe,
+                qpool[s : s + b], cent, arrays, rerank_src, nprobe=nprobe,
                 probe_cap=probe_cap, k=K, metric=Metric.L2,
             )
             found.append(np.asarray(si))

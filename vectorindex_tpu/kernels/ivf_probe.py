@@ -26,7 +26,7 @@ crosses a list boundary.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -222,6 +222,9 @@ def ivf_search_flat_pallas(
     q: Array,
     centroids: Array,
     arrays,  # ops.ivf.IVFListArrays
+    rerank_vecs: Optional[Array] = None,  # f32 rerank source in CSR ROW
+    #   ORDER (row r holds the original vector of arrays.row_ids[r]) — for
+    #   bf16 scan arrays
     *,
     nprobe: int,
     probe_cap: int,
@@ -238,7 +241,10 @@ def ivf_search_flat_pallas(
     (the reference pipeline's #40 rerank_exact_topk stage): the kernel's MXU
     pass runs at default precision, which flips ~5% of top-10 entries among
     near-duplicates — the C-row rerank restores exact-within-probed-lists
-    for ~C/probed_rows of the kernel's cost."""
+    for ~C/probed_rows of the kernel's cost. rerank_vecs supplies a
+    full-precision rerank source when the scan arrays store bf16 (the
+    capacity/serving fast path: bf16 halves the probe DMA, the f32 rerank
+    of just C rows restores exactness over the original values)."""
     from vectorindex_tpu.ops.ivf import ivf_select
 
     b, d = q.shape
@@ -285,7 +291,8 @@ def ivf_search_flat_pallas(
     if exact_rerank:
         # #40 exact rerank: f32-HIGHEST over just the C gathered rows
         rrows = jnp.where(missing, 0, rows)
-        xg = vecs[rrows].astype(jnp.float32)
+        src = vecs if rerank_vecs is None else rerank_vecs
+        xg = src[rrows].astype(jnp.float32)
         g = jnp.einsum(
             "bd,bcd->bc", q, xg,
             preferred_element_type=jnp.float32,
@@ -418,7 +425,10 @@ def _probe_rank_kernel(
         dist = 1.0 - g * qinv * xinv
     else:
         raise ValueError(f"unsupported metric {metric}")
-    live = lr_ref[pl.ds(r * b, b)].reshape(b, 1)
+    # SMEM allows only scalar loads in compiled mode: assemble [B, 1]
+    live = jnp.concatenate(
+        [lr_ref[r * b + j].reshape(1, 1) for j in range(b)], axis=0
+    )
     lane = jax.lax.broadcasted_iota(jnp.int32, (b, cap), 1)
     out_ref[0] = jnp.where(lane < live, dist, INVALID_DIST)
 
