@@ -153,6 +153,19 @@ class IVFIndex(VectorIndex):
         )
         return np.asarray(assign)
 
+    def _sync_rerank_f32(self):
+        """f32 CSR-ordered rerank source for bf16 scan storage (cached per
+        packed layout; the store's packed host arrays are already f32 in
+        CSR row order)."""
+        cache = getattr(self, "_rerank_f32_cache", None)
+        key = (self._store.version, self._store.layout_version)
+        if cache is not None and cache[0] == key:
+            return cache[1]
+        self._store.sync_device(self.storage_dtype)  # ensure packed
+        src = jnp.asarray(self._store._packed["vecs"])
+        self._rerank_f32_cache = (key, src)
+        return src
+
     # ------------------------------------------------------------------
     # CRUD
     # ------------------------------------------------------------------
@@ -358,18 +371,33 @@ class IVFIndex(VectorIndex):
                 rows_scored=q.shape[0] * nprobe * cap,
             )
             with TELEM.timer("score_flat", stats):  # select fused in-program
-                search_fn = (
-                    _pallas_probe_search() if _use_pallas_ivf() else ivf_search_flat
-                )
-                dist, ids = search_fn(
-                    jnp.asarray(q),
-                    jnp.asarray(self._centroids),
-                    arrays,
-                    nprobe=nprobe,
-                    probe_cap=cap,
-                    k=min(kk, max(self.count, 1)),
-                    metric=self.metric,
-                )
+                if _use_pallas_ivf():
+                    # bf16 storage: hand the kernel an f32 CSR-ordered rerank
+                    # source so the exact-rerank epilogue restores full
+                    # precision (cached per store layout)
+                    rerank_src = None
+                    if self.storage_dtype != jnp.float32:
+                        rerank_src = self._sync_rerank_f32()
+                    dist, ids = _pallas_probe_search()(
+                        jnp.asarray(q),
+                        jnp.asarray(self._centroids),
+                        arrays,
+                        rerank_src,
+                        nprobe=nprobe,
+                        probe_cap=cap,
+                        k=min(kk, max(self.count, 1)),
+                        metric=self.metric,
+                    )
+                else:
+                    dist, ids = ivf_search_flat(
+                        jnp.asarray(q),
+                        jnp.asarray(self._centroids),
+                        arrays,
+                        nprobe=nprobe,
+                        probe_cap=cap,
+                        k=min(kk, max(self.count, 1)),
+                        metric=self.metric,
+                    )
                 dist, ids = np.asarray(dist), np.asarray(ids)
             TELEM.record_query(stats)
 
