@@ -14,7 +14,7 @@ so block DMA never crosses a list boundary, dead rows row_id=-1.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

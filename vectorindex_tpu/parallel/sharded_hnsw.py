@@ -20,7 +20,7 @@ nodes, so the same ef covers a larger fraction of its shard.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
