@@ -181,6 +181,7 @@ class ShardedHNSWIndex(VectorIndex):
         self._dead: set[int] = set()
         self._state = None  # parallel.sharded_hnsw.ShardedHNSWState
         self._built_rows = 0
+        self._stacked = None  # cached np.stack of _vectors (rescoring)
 
     # -- CRUD ----------------------------------------------------------
 
@@ -239,6 +240,7 @@ class ShardedHNSWIndex(VectorIndex):
         x = np.stack(self._vectors) if self._vectors else np.zeros(
             (0, self.dimension), np.float32
         )
+        self._stacked = x
         self._state = build_sharded_hnsw(
             x, self.n_shards, self.metric, self.config,
             global_ids=np.arange(len(self._ids), dtype=np.int64),
@@ -268,7 +270,7 @@ class ShardedHNSWIndex(VectorIndex):
         )
         ids = np.asarray(ids)
         out = []
-        x = np.stack(self._vectors)
+        x = self._stacked  # cached by _ensure_built (same rows by contract)
         for b in range(q.shape[0]):
             row = []
             for j in range(kk):
