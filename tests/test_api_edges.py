@@ -315,3 +315,41 @@ def test_stats_details_per_family():
     si = i.statistics()
     assert si.details["nlist"] == ICFG.nlist
     assert si.details["trained"] in (True, 1)
+
+
+def test_load_index_dispatches_containers(tmp_path):
+    """load_index must open binary containers too (flat + hnsw tiers)."""
+    from vectorindex_tpu.models import load_index
+
+    f = _mk_flat()
+    x = _fill(f, n=12)
+    pf = str(tmp_path / "f.vx")
+    f.save_container(pf)
+    lf = load_index(pf)
+    assert type(lf).__name__ == "FlatIndex" and lf.count == 12
+    assert lf.search(x[2], 1)[0].id == "v2"
+
+    h = _mk_hnsw()
+    y = _fill(h, n=30)
+    h.statistics()
+    ph = str(tmp_path / "h.vx")
+    h.save_container(ph)
+    lh = load_index(ph)
+    assert type(lh).__name__ == "HNSWIndex"
+    assert lh.search(y[4], 1)[0].id == "v4"
+
+
+def test_load_index_dispatches_durable_ivf(tmp_path):
+    from vectorindex_tpu.models import load_index
+
+    idx = _mk_ivf()
+    x = _fill(idx, n=24)
+    idx.optimize()
+    p = str(tmp_path / "ivf.vx")
+    idx.enable_durable(p)
+    idx.insert("extra", x[0] + 0.5)
+    del idx
+    loaded = load_index(p)
+    assert type(loaded).__name__ in ("IVFIndex", "IVFPQIndex")
+    assert loaded.contains("extra")
+    assert loaded.search(x[3], 1)[0].id == "v3"

@@ -22,11 +22,16 @@ from vectorindex_tpu.models import accel  # noqa: F401
 
 
 def load_index(path: str):
-    """Open any JSON snapshot, dispatching on its `type` field (flat / hnsw /
-    ivf / ivfpq / sharded_flat). Binary containers load via
-    `IVFIndex.load_durable`."""
+    """Open any persisted index, dispatching on format and `type`:
+    JSON snapshots (flat / hnsw / ivf / ivfpq / sharded_*) and binary
+    INDEXTPU containers (flat / hnsw via the container tier; ivf / ivfpq
+    via the durable loader)."""
     import json
 
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if magic == b"INDEXTPU":
+        return _load_container_index(path)
     with open(path) as f:
         t = json.load(f).get("type")
     cls = {
@@ -46,3 +51,27 @@ def load_index(path: str):
             .build()
         )
     return cls.load(path)
+
+
+def _load_container_index(path: str):
+    """Dispatch a binary container by its META section (or durable-IVF
+    layout when no META blob exists)."""
+    import json as _json
+
+    from vectorindex_tpu.persistence.container import Container, SectionType
+
+    meta = None
+    with Container.open(path) as c:
+        if c.find(SectionType.META) >= 0:
+            try:
+                meta = _json.loads(c.read_blob(SectionType.META))
+            except ValueError:
+                meta = None
+    t = (meta or {}).get("type")
+    if t == "flat":
+        return FlatIndex.load_container(path)
+    if t == "hnsw":
+        return HNSWIndex.load_container(path)
+    # durable IVF(-PQ) containers carry their state in typed sections
+    # without a META envelope
+    return IVFIndex.load_durable(path)
