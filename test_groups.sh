@@ -9,6 +9,7 @@ core=(tests/test_scoring.py tests/test_topk.py tests/test_rng_dtypes.py \
       tests/test_flat_index.py tests/test_scan.py tests/test_support_ops.py \
       tests/test_telemetry.py tests/test_accel_layout.py \
       tests/test_dtype_edges.py tests/test_api_edges.py \
+      tests/test_typed_overloads.py tests/test_integration_pipelines.py \
       tests/test_filters_advanced.py tests/test_errors.py \
       tests/test_benchmarks.py)
 hnsw=(tests/test_hnsw.py tests/test_hnsw_more.py)
