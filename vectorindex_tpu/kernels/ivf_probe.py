@@ -252,9 +252,11 @@ def ivf_search_flat_pallas(
     _, probe_lists = ivf_select(q, centroids, nprobe=nprobe, metric=metric)
     vecs, sqn = arrays.vecs, arrays.sqnorms
     pad = (-vecs.shape[0]) % BLK
-    if pad:  # only possible for degenerate/tiny stores (packer emits 256s
-        # plus the KB-1 guard blocks; see adc_probe for the contract)
-        pad += (KB - 1) * BLK
+    if pad:  # only possible for degenerate/tiny stores that skipped the
+        # packer; pad the full GUARD_BLOCKS contract since the rank-major
+        # kernel DMAs up to GUARD_BLOCKS blocks past a list start
+        # (ADVICE r2 #3)
+        pad += GUARD_BLOCKS * BLK
         vecs = jnp.concatenate(
             [vecs, jnp.zeros((pad, d), vecs.dtype)], axis=0
         )

@@ -147,16 +147,19 @@ def _candidates_kernel(q_ref, x_ref, bias_ref, *rest, metric: Metric, tb: int):
 
 def _count_kernel(q_ref, x_ref, bias_ref, *rest, metric: Metric):
     cs_ref = rest[0] if metric == Metric.COSINE else None
-    thr_ref, out_ref = rest[-2], rest[-1]
+    thr_ref, lt_ref, le_ref = rest[-3], rest[-2], rest[-1]
     i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
-        out_ref[:] = jnp.zeros(out_ref.shape, jnp.int32)
+        lt_ref[:] = jnp.zeros(lt_ref.shape, jnp.int32)
+        le_ref[:] = jnp.zeros(le_ref.shape, jnp.int32)
 
     dist = _dist_tile(q_ref, x_ref, bias_ref, cs_ref, metric)
     below = (dist < thr_ref[:]).astype(jnp.int32)  # thr [TB, 1] broadcasts
-    out_ref[:] = out_ref[:] + jnp.sum(below, axis=1, keepdims=True)
+    at_most = (dist <= thr_ref[:]).astype(jnp.int32)
+    lt_ref[:] = lt_ref[:] + jnp.sum(below, axis=1, keepdims=True)
+    le_ref[:] = le_ref[:] + jnp.sum(at_most, axis=1, keepdims=True)
 
 
 @partial(jax.jit, static_argnames=("metric", "interpret"))
@@ -221,11 +224,14 @@ def _count_below(q, x, bias, colscale, thresh, *, metric: Metric, interpret: boo
     grid_spec = pl.GridSpec(
         grid=(nq // tb, npad // TILE),
         in_specs=in_specs,
-        out_specs=out_spec,
+        out_specs=(out_spec, out_spec),
     )
     return pl.pallas_call(
         partial(_count_kernel, metric=metric),
-        out_shape=jax.ShapeDtypeStruct((nq, 1), jnp.int32),
+        out_shape=(
+            jax.ShapeDtypeStruct((nq, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nq, 1), jnp.int32),
+        ),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -313,12 +319,22 @@ def scan_topk_fused(
     tau = sd[:, kk - 1]  # kernel-space; bit-identical to pass-2 distances
 
     thresh = tau[:, None]
-    counts = _count_below(
+    counts_lt, counts_le = _count_below(
         qk, x_pad, bias, colscale, thresh, metric=metric, interpret=interpret
-    )[:, 0]
+    )
+    counts_lt, counts_le = counts_lt[:, 0], counts_le[:, 0]
     result_below = jnp.sum((sd < thresh).astype(jnp.int32), axis=-1)
     n_valid = jnp.sum(valid_pad.astype(jnp.int32))
-    exact = jnp.where(jnp.isfinite(tau), counts == result_below, n_valid <= kk)
+    # exact requires (a) every strictly-better row selected and (b) no
+    # corpus tau-ties beyond the kk selected: with extra rows at dist == tau
+    # the strict (score, id) contract may demand a lower-id tie the binned
+    # minima dropped — id-blind counting can't verify that, so flag and let
+    # the caller's strict fallback resolve it (ADVICE r2 #2)
+    exact = jnp.where(
+        jnp.isfinite(tau),
+        (counts_lt == result_below) & (counts_le == kk),
+        n_valid <= kk,
+    )
 
     # kernel-space -> public ascending distances
     if metric == Metric.L2:
@@ -328,11 +344,14 @@ def scan_topk_fused(
     si = jnp.where(jnp.isfinite(sd), si, INVALID_ID)
     if qpad:
         sd, si, exact = sd[:b], si[:b], exact[:b]
-    if k > kk:  # degenerate k > C
+    if k > kk:  # k exceeds the candidate cap: ranks >= kk are padding, so
+        # the result is NOT the exact top-k — report exact=False and let the
+        # caller's strict path produce the real ranks (ADVICE r2 #1)
         sd = jnp.concatenate(
             [sd, jnp.full((b, k - kk), INVALID_DIST, sd.dtype)], axis=1
         )
         si = jnp.concatenate(
             [si, jnp.full((b, k - kk), INVALID_ID, si.dtype)], axis=1
         )
+        exact = exact & (jnp.sum(valid_pad.astype(jnp.int32)) <= kk)
     return sd, si, exact

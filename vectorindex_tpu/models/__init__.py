@@ -60,13 +60,23 @@ def _load_container_index(path: str):
 
     from vectorindex_tpu.persistence.container import Container, SectionType
 
+    from vectorindex_tpu.utils.errors import ErrorBuilder, IndexErrorKind
+
     meta = None
     with Container.open(path) as c:
         if c.find(SectionType.META) >= 0:
             try:
                 meta = _json.loads(c.read_blob(SectionType.META))
-            except ValueError:
-                meta = None
+            except ValueError as e:
+                # a META section that exists but won't parse is corruption,
+                # not a durable-IVF container — surfacing it as a confusing
+                # load_durable failure hides the real problem (ADVICE r2 #5)
+                raise (
+                    ErrorBuilder(IndexErrorKind.CORRUPT_DATA)
+                    .message(f"container META section is unparseable: {path}")
+                    .caused_by(e)
+                    .build()
+                )
     t = (meta or {}).get("type")
     if t == "flat":
         return FlatIndex.load_container(path)

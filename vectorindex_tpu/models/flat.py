@@ -304,6 +304,12 @@ class FlatIndex(VectorIndex):
             Metric.INNER_PRODUCT,
             Metric.COSINE,
         ) and _use_pallas_scan()
+        if fused_ok:
+            # the fused kernel keeps at most 2·C candidates per query; larger
+            # k must go through the always-exact strict path (ADVICE r2 #1)
+            from vectorindex_tpu.kernels.scan_fused import C as _SCAN_C
+
+            fused_ok = kk <= 2 * _SCAN_C
         if self.capacity >= LARGE_SCAN_THRESHOLD:
             with TELEM.timer("score_flat", stats):
                 if fused_ok:

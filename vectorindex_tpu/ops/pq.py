@@ -141,7 +141,6 @@ def residuals(x: Array, coarse_centroids: Array, assignments: Array) -> Array:
 
 
 @partial(jax.jit, static_argnames=("chunk",))
-@partial(jax.jit, static_argnames=("chunk",))
 def pq_encode(x: Array, books: PQCodebooks, chunk: int = 4096) -> Array:
     """Encode rows → codes [n, m] (u8). Nearest centroid per subspace via the
     dot-trick on the MXU (reference pq_encode_u8_f32 withCSQ — the cached
