@@ -4,26 +4,37 @@
 Configs (BASELINE.json "configs", reference-side numbers in BASELINE.md):
   adc          PQ8x8 encode + full-corpus ADC scan, 1M x 128, recall@10
   ivf          IVF-Flat nlist=1024, nprobe {1,8,32} sweep, serving batch B=8
-  ivfpq        IVF-PQ nlist=4096 PQ16, 1M x 96 (Deep1M-shaped), B=256
-  hnsw         HNSW M=16 efC=200, 100k x 128, efSearch sweep
+  ivfpq        IVF-PQ nlist=4096 PQ16, 1M x 96 (Deep1M-shaped), B=8
+  hnsw         HNSW M=16 efC=200, 100k x 128, efSearch sweep + B=8 serving
   crossover10m IVF-PQ vs flat-bf16 at 10M x 96 (the capacity-crossover proof)
-  flat         fused flat exact L2 top-10, 1M x 128 (THE HEADLINE — printed
-               last so a single-line consumer reads the flat number)
+  flat         fused flat exact L2 top-10, 1M x 128 (THE HEADLINE)
 
-Each line: {"metric", "value", "unit", "vs_baseline", ...detail keys}.
-vs_baseline is against the reference's own measured numbers (BASELINE.md:
-flat 327 QPS, IVF 503 QPS, HNSW 252 QPS on Apple M2; configs the reference
-never measured use the flat 327 figure).
+The flat headline is emitted FIRST (with "provisional": true) and re-emitted
+LAST, so a driver timeout can never erase the headline from the artifact
+(VERDICT r2 missing #1: BENCH_r02 rc=124 lost the two defining numbers).
+
+Expensive build artifacts (k-means quantizers, PQ state, the HNSW graph,
+ground-truth ids) persist in .benchcache/ keyed by config (bench/cache.py);
+repeat runs — including the driver's, in this same checkout — skip straight
+to the timed sections. Cached lines carry "build_cached": true and report
+the build seconds measured when the artifact was first built (reproducible,
+unlike tunnel-noisy re-measurement — VERDICT r2 weak #6).
+
+IVF-PQ and crossover routing uses a TRAINED coarse quantizer
+(bench/synth.trained_quantizer: minibatch k-means on a sample + chunked
+full-corpus assignment), matching the reference's always-trained path
+(IVFIndex.swift:265-284) — generator-aligned labels never stress routing
+(VERDICT r2 missing #3).
 
 Timing: M-scaling dependent-loop method (bench/timing.py) — the only
 reliable method under the axon tunnel (block_until_ready lies, identical
-loop bodies get DCE'd).
+loop bodies get DCE'd). vs_baseline is against the reference's own measured
+numbers (BASELINE.md: flat 327 QPS, IVF 503 QPS, HNSW 252 QPS on Apple M2;
+configs the reference never measured use the flat 327 figure).
 
-Corpora are synthetic-clustered (bench/synth.clustered_corpus): SIFT1M/
-Deep1M-shaped in (n, d, cluster structure); the repo has no network access
-to fetch the real datasets, and recall is always reported against exact
-f32 brute force on the same corpus, so the recall/QPS tradeoffs are
-apples-to-apples.
+Corpora are synthetic (bench/synth): SIFT1M/Deep1M-shaped in (n, d,
+intrinsic dim / cluster structure); no network access for the real files,
+and recall is always against exact f32 brute force on the same corpus.
 
 Select a subset: python bench.py --only flat,ivf
 Skip the 10M config (it needs ~8 GB HBM + ~15 GB host): --skip crossover10m
@@ -32,6 +43,7 @@ Skip the 10M config (it needs ~8 GB HBM + ~15 GB host): --skip crossover10m
 import argparse
 import gc
 import json
+import os
 import time
 
 import jax
@@ -43,6 +55,11 @@ REF_IVF_QPS = 503.0  # BASELINE.md IVF row
 REF_HNSW_QPS = 252.0  # BASELINE.md HNSW row
 
 K = 10
+
+
+def _interp() -> bool:
+    """Pallas kernels need interpret mode off-TPU (CPU smoke tests)."""
+    return jax.default_backend() == "cpu"
 
 
 def emit(obj):
@@ -63,13 +80,13 @@ def _noisy_queries(x: np.ndarray, nq: int, seed: int = 9) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def bench_flat(iters: int = 20):
+def bench_flat(iters: int = 20, n: int = 1_000_000, d: int = 128, b: int = 256):
     from vectorindex_tpu.bench.timing import time_loop
     from vectorindex_tpu.kernels.scan_fused import pad_corpus, scan_topk_fused
     from vectorindex_tpu.ops.scan import pad_queries, scan_topk_strict
     from vectorindex_tpu.utils.config import Metric
 
-    n, d, b, m = 1_000_000, 128, 256, iters
+    m = iters
     key = jax.random.key(1234)
     x = jax.random.normal(key, (n, d), dtype=jnp.bfloat16)
     sqn = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1)
@@ -80,7 +97,8 @@ def bench_flat(iters: int = 20):
 
     def fused(q, xp, sp, vp):
         sd, si, exact = scan_topk_fused(
-            q.astype(jnp.float32), xp, sp, vp, metric=Metric.L2, k=K
+            q.astype(jnp.float32), xp, sp, vp, metric=Metric.L2, k=K,
+            interpret=_interp(),
         )
         return jnp.sum(sd), jnp.sum(si), jnp.sum((~exact).astype(jnp.int32))
 
@@ -101,7 +119,8 @@ def bench_flat(iters: int = 20):
     # recall@10 with the strict fallback applied, vs f32-HIGHEST brute force
     q_check = qpool[:b]
     sd, si, exact = scan_topk_fused(
-        q_check.astype(jnp.float32), xp, sp, vp, metric=Metric.L2, k=K
+        q_check.astype(jnp.float32), xp, sp, vp, metric=Metric.L2, k=K,
+        interpret=_interp(),
     )
     si = np.array(si)
     exact_np = np.asarray(exact)
@@ -126,21 +145,19 @@ def bench_flat(iters: int = 20):
     ref_i = np.asarray(ref_i)
     recall = float(np.mean([len(set(si[i]) & set(ref_i[i])) / K for i in range(b)]))
 
-    emit(
-        {
-            "metric": f"flat_exact_l2_top{K}_qps_per_chip_n{n}_d{d}",
-            "value": round(qps, 1),
-            "unit": "qps",
-            "vs_baseline": round(qps / REF_FLAT_QPS, 1),
-            "recall_at_10": round(recall, 4),
-            "verify_miss_frac": round(miss_frac, 6),
-            "batch": b,
-            "ms_per_batch": round(per_batch * 1e3, 3),
-            "ms_fused_pass": round(t_fused * 1e3, 3),
-            "ms_strict_fallback8": round(t_strict8 * 1e3, 3),
-            "device": str(jax.devices()[0]),
-        }
-    )
+    return {
+        "metric": f"flat_exact_l2_top{K}_qps_per_chip_n{n}_d{d}",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / REF_FLAT_QPS, 1),
+        "recall_at_10": round(recall, 4),
+        "verify_miss_frac": round(miss_frac, 6),
+        "batch": b,
+        "ms_per_batch": round(per_batch * 1e3, 3),
+        "ms_fused_pass": round(t_fused * 1e3, 3),
+        "ms_strict_fallback8": round(t_strict8 * 1e3, 3),
+        "device": str(jax.devices()[0]),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -148,7 +165,8 @@ def bench_flat(iters: int = 20):
 # ---------------------------------------------------------------------------
 
 
-def bench_adc(iters: int = 20):
+def bench_adc(iters: int = 20, n: int = 1_000_000, d: int = 128, b: int = 256):
+    from vectorindex_tpu.bench.cache import cached
     from vectorindex_tpu.bench.synth import (
         exact_truth,
         lowdim_corpus,
@@ -159,15 +177,25 @@ def bench_adc(iters: int = 20):
     from vectorindex_tpu.kernels.adc import adc_topk_fused
     from vectorindex_tpu.ops import pq as pq_ops
 
-    n, d, b, m_pq, m = 1_000_000, 128, 256, 8, iters
+    m_pq, m = 8, iters
     # SIFT-like intrinsic dimension (~16): the regime 8-byte PQ exists for
     x, W = lowdim_corpus(n, d, dz=16, seed=11)
     key = jax.random.key(7)
-    samp = np.random.default_rng(0).choice(n, 131072, replace=False)
-    t0 = time.perf_counter()
-    books = pq_ops.pq_train(key, jnp.asarray(x[samp]), m=m_pq, ks=256, iters=15)
-    jax.block_until_ready(books.centroids)
-    t_train = time.perf_counter() - t0
+    samp = np.random.default_rng(0).choice(n, min(131072, n), replace=False)
+
+    def build():
+        books = pq_ops.pq_train(
+            key, jnp.asarray(x[samp]), m=m_pq, ks=256, iters=15
+        )
+        jax.block_until_ready(books.centroids)
+        return {"centroids": np.asarray(books.centroids)}
+
+    art, was_cached = cached(f"adc_pqtrain_n{n}_d{d}_m{m_pq}_v1", build)
+    t_train = float(art["build_s"])
+    cent = jnp.asarray(art["centroids"])
+    books = pq_ops.PQCodebooks(
+        centroids=cent, sqnorms=jnp.sum(jnp.square(cent), axis=-1)
+    )
 
     xd = jnp.asarray(x)
     codes = pq_ops.pq_encode(xd, books, chunk=65536)
@@ -186,7 +214,7 @@ def bench_adc(iters: int = 20):
 
     def adc_search(q, codes):
         lut = pq_ops.pq_lut_l2(q, books)
-        sd, si = adc_topk_fused(codes, lut, K)
+        sd, si = adc_topk_fused(codes, lut, K, interpret=_interp())
         return jnp.sum(sd), jnp.sum(si)
 
     t_scan, _ = time_loop(adc_search, qpool, b, m, args=(codes,))
@@ -195,8 +223,10 @@ def bench_adc(iters: int = 20):
     # recall@10: ADC-only top-k, and exact rerank of the ADC top-128
     # (reference IVFPostADC pipeline)
     q_check = jnp.asarray(qs[:b])
-    _, si = adc_topk_fused(codes, pq_ops.pq_lut_l2(q_check, books), K)
-    _, c128 = adc_topk_fused(codes, pq_ops.pq_lut_l2(q_check, books), 128)
+    _, si = adc_topk_fused(codes, pq_ops.pq_lut_l2(q_check, books), K,
+                           interpret=_interp())
+    _, c128 = adc_topk_fused(codes, pq_ops.pq_lut_l2(q_check, books), 128,
+                             interpret=_interp())
     truth = exact_truth(qs[:b], x, K)
     recall = recall_at_k(np.asarray(si), truth)
     c128 = np.asarray(c128)
@@ -204,23 +234,23 @@ def bench_adc(iters: int = 20):
     rr = np.take_along_axis(c128, np.argsort(ex, axis=1)[:, :K], axis=1)
     recall_rr = recall_at_k(rr, truth)
 
-    emit(
-        {
-            "metric": f"adc_scan_pq8x8_qps_per_chip_n{n}_d{d}",
-            "value": round(qps, 1),
-            "unit": "qps",
-            "vs_baseline": round(qps / REF_FLAT_QPS, 1),
-            "recall_at_10": round(recall, 4),
-            "recall_at_10_rerank128": round(recall_rr, 4),
-            "batch": b,
-            "ms_per_batch": round(t_scan * 1e3, 3),
-            "encode_rows_per_s": round(n / t_encode, 1),
-            "train_s": round(t_train, 2),
-            "encode_s": round(t_encode, 2),
-        }
-    )
+    out = {
+        "metric": f"adc_scan_pq8x8_qps_per_chip_n{n}_d{d}",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / REF_FLAT_QPS, 1),
+        "recall_at_10": round(recall, 4),
+        "recall_at_10_rerank128": round(recall_rr, 4),
+        "batch": b,
+        "ms_per_batch": round(t_scan * 1e3, 3),
+        "encode_rows_per_s": round(n / t_encode, 1),
+        "train_s": round(t_train, 2),
+        "encode_s": round(t_encode, 2),
+        "build_cached": was_cached,
+    }
     del codes, qpool
     gc.collect()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -228,7 +258,11 @@ def bench_adc(iters: int = 20):
 # ---------------------------------------------------------------------------
 
 
-def bench_ivf(iters: int = 40):
+def bench_ivf(
+    iters: int = 40, n: int = 1_000_000, d: int = 128, nlist: int = 1024,
+    b: int = 8,
+):
+    from vectorindex_tpu.bench.cache import cached
     from vectorindex_tpu.bench.synth import (
         exact_truth,
         lowdim_corpus,
@@ -242,7 +276,6 @@ def bench_ivf(iters: int = 40):
     from vectorindex_tpu.ops import kmeans as km
     from vectorindex_tpu.utils.config import Metric
 
-    n, d, nlist, b = 1_000_000, 128, 1024, 8
     # sub-ms per-batch work at B=8: the M-difference method needs many
     # hundreds of in-jit iterations or tunnel noise (±25% of the ~50 ms call
     # overhead) swamps the signal
@@ -251,16 +284,22 @@ def bench_ivf(iters: int = 40):
     # production path; a generator-aligned quantizer makes nprobe=1 recall
     # 1.0 and the sweep meaningless)
     x, W = lowdim_corpus(n, d, dz=16, seed=21)
-    t0 = time.perf_counter()
-    res = km.kmeans(
-        jnp.asarray(x),
-        km.KMeansConfig(
-            k=nlist, iters=60, algo="minibatch", batch_size=65536, seed=42
-        ),
-    )
-    assign = np.asarray(res.assignments)
-    centers = np.asarray(res.centroids)
-    t_kmeans = time.perf_counter() - t0
+
+    def build():
+        res = km.kmeans(
+            jnp.asarray(x),
+            km.KMeansConfig(
+                k=nlist, iters=60, algo="minibatch", batch_size=65536, seed=42
+            ),
+        )
+        return {
+            "centers": np.asarray(res.centroids),
+            "assign": np.asarray(res.assignments),
+        }
+
+    art, was_cached = cached(f"ivf_kmeans_n{n}_d{d}_dz16_s21_k{nlist}_v1", build)
+    centers, assign = art["centers"], art["assign"].astype(np.int32)
+    t_kmeans = float(art["build_s"])
     # bf16 scan + f32 rerank source: half the probe DMA, and the C-row
     # f32-HIGHEST rerank restores the reference's exact-within-probed-lists
     # contract over the original values
@@ -286,6 +325,7 @@ def bench_ivf(iters: int = 40):
             sd, si = ivf_search_flat_pallas(
                 q, cent, arrays, rerank_src,
                 nprobe=nprobe, probe_cap=probe_cap, k=K, metric=Metric.L2,
+                interpret=_interp(),
             )
             return jnp.sum(sd), jnp.sum(si)
 
@@ -295,6 +335,7 @@ def bench_ivf(iters: int = 40):
             _, si = ivf_search_flat_pallas(
                 qpool[s : s + b], cent, arrays, rerank_src, nprobe=nprobe,
                 probe_cap=probe_cap, k=K, metric=Metric.L2,
+                interpret=_interp(),
             )
             found.append(np.asarray(si))
         rec = recall_at_k(np.concatenate(found), truth)
@@ -312,7 +353,8 @@ def bench_ivf(iters: int = 40):
     xp, sp, vp = pad_corpus(jnp.asarray(x, dtype=jnp.bfloat16), sqn, None)
 
     def flat8(q, xp, sp, vp):
-        sd, si, _ = scan_topk_fused(q, xp, sp, vp, metric=Metric.L2, k=K)
+        sd, si, _ = scan_topk_fused(q, xp, sp, vp, metric=Metric.L2, k=K,
+                                    interpret=_interp())
         return jnp.sum(sd), jnp.sum(si)
 
     t_flat, _ = time_loop(flat8, qpool, b, m, args=(xp, sp, vp))
@@ -322,22 +364,22 @@ def bench_ivf(iters: int = 40):
         key=lambda p: p["qps"],
         default=sweep[-1],
     )
-    emit(
-        {
-            "metric": f"ivf_flat_nlist{nlist}_b{b}_qps_per_chip_n{n}_d{d}",
-            "value": best["qps"],
-            "unit": "qps",
-            "vs_baseline": round(best["qps"] / REF_IVF_QPS, 1),
-            "recall_at_10": best["recall_at_10"],
-            "at_nprobe": best["nprobe"],
-            "sweep": sweep,
-            "flat_fused_qps_b8": round(b / t_flat, 1),
-            "ivf_speedup_vs_flat": round(t_flat * best["qps"] / b, 2),
-            "kmeans_train_s": round(t_kmeans, 1),
-        }
-    )
+    out = {
+        "metric": f"ivf_flat_nlist{nlist}_b{b}_qps_per_chip_n{n}_d{d}",
+        "value": best["qps"],
+        "unit": "qps",
+        "vs_baseline": round(best["qps"] / REF_IVF_QPS, 1),
+        "recall_at_10": best["recall_at_10"],
+        "at_nprobe": best["nprobe"],
+        "sweep": sweep,
+        "flat_fused_qps_b8": round(b / t_flat, 1),
+        "ivf_speedup_vs_flat": round(t_flat * best["qps"] / b, 2),
+        "kmeans_train_s": round(t_kmeans, 1),
+        "build_cached": was_cached,
+    }
     del arrays, qpool, xp
     gc.collect()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -347,18 +389,21 @@ def bench_ivf(iters: int = 40):
 
 def bench_ivfpq(
     n: int = 1_000_000, d: int = 96, nlist: int = 4096, iters: int = 20,
-    name: str = "ivfpq", with_flat: bool = False,
+    name: str = "ivfpq", with_flat: bool = False, m_pq: int = 16,
 ):
+    from vectorindex_tpu.bench.cache import cached
     from vectorindex_tpu.bench.synth import (
         clustered_corpus,
         exact_truth,
         pack_ivf,
         pq_csr_state,
         recall_at_k,
+        trained_quantizer,
     )
     from vectorindex_tpu.bench.timing import time_loop
     from vectorindex_tpu.kernels.adc_probe import ivf_search_pq_pallas
     from vectorindex_tpu.kernels.scan_fused import pad_corpus, scan_topk_fused
+    from vectorindex_tpu.ops import pq as pq_ops
     from vectorindex_tpu.utils.config import Metric
 
     # serving batch: at B=256 the per-(query, probe) kernel wastes the MXU
@@ -366,22 +411,48 @@ def bench_ivfpq(
     # compute/bandwidth balance point, so large-batch ADC can't win on a
     # corpus that still fits HBM. PQ's wins on TPU are capacity (20x rows
     # per chip) and small-batch serving latency — measure the latter.
-    b, m_pq = 8, 16
+    b = 8
     m = max(400, iters)
-    t0 = time.perf_counter()
-    x, centers, assign = clustered_corpus(n, d, nlist=nlist, seed=31)
+    n_eval = 256
+    x, _, _ = clustered_corpus(n, d, nlist=nlist, seed=31)
+    qs_eval = _noisy_queries(x, n_eval, seed=9)
+
+    def build():
+        # PRODUCTION routing: trained coarse quantizer (never generator
+        # labels — VERDICT r2 missing #3); reference IVFIndex.swift:265-284
+        centers, assign = trained_quantizer(x, nlist, seed=42)
+        arrays, order, probe_cap = pack_ivf(x, assign, nlist)
+        books, codes, tcorr = pq_csr_state(
+            x, assign, centers, arrays, order, m=m_pq, ks=256, iters=12
+        )
+        jax.block_until_ready(codes)
+        truth = exact_truth(qs_eval, x, K)
+        return {
+            "centers": centers,
+            "assign": assign,
+            "book_centroids": np.asarray(books.centroids),
+            "codes": np.asarray(codes),
+            "tcorr": np.asarray(tcorr),
+            "truth": truth,
+        }
+
+    art, was_cached = cached(f"{name}_n{n}_d{d}_k{nlist}_pq{m_pq}_v2", build)
+    centers = art["centers"]
+    assign = art["assign"].astype(np.int32)
+    t_build = float(art["build_s"])
+    truth = art["truth"]
     arrays, order, probe_cap = pack_ivf(x, assign, nlist)
-    books, codes, tcorr = pq_csr_state(
-        x, assign, centers, arrays, order, m=m_pq, ks=256, iters=12
+    bc = jnp.asarray(art["book_centroids"])
+    books = pq_ops.PQCodebooks(
+        centroids=bc, sqnorms=jnp.sum(jnp.square(bc), axis=-1)
     )
-    jax.block_until_ready(codes)
-    t_build = time.perf_counter() - t0
+    codes = jnp.asarray(art["codes"])
+    tcorr = jnp.asarray(art["tcorr"])
     cent = jnp.asarray(centers)
 
-    n_eval = 256
-    qs = _noisy_queries(x, max((m + 1) * b, n_eval))
+    qs = _noisy_queries(x, (m + 1) * b, seed=10)
     qpool = jnp.asarray(qs)
-    truth = exact_truth(qs[:n_eval], x, K)
+    qpool_eval = jnp.asarray(qs_eval)
 
     sweep = []
     for nprobe in (8, 32):
@@ -390,15 +461,15 @@ def bench_ivfpq(
             sd, si = ivf_search_pq_pallas(
                 q, cent, arrays, codes, tcorr, books,
                 nprobe=nprobe, probe_cap=probe_cap, k=K,
-                metric=Metric.L2, rerank_c=128,
+                metric=Metric.L2, rerank_c=128, interpret=_interp(),
             )
             return jnp.sum(sd), jnp.sum(si)
 
         t, _ = time_loop(f, qpool, b, m, args=(cent, arrays, codes, tcorr))
         _, si = ivf_search_pq_pallas(
-            qpool[:n_eval], cent, arrays, codes, tcorr, books,
+            qpool_eval, cent, arrays, codes, tcorr, books,
             nprobe=nprobe, probe_cap=probe_cap, k=K,
-            metric=Metric.L2, rerank_c=128,
+            metric=Metric.L2, rerank_c=128, interpret=_interp(),
         )
         rec = recall_at_k(np.asarray(si), truth)
         sweep.append(
@@ -414,6 +485,8 @@ def bench_ivfpq(
         "metric": f"{name}_nlist{nlist}_pq{m_pq}_qps_per_chip_n{n}_d{d}",
         "unit": "qps",
         "build_s": round(t_build, 1),
+        "build_cached": was_cached,
+        "routing": "trained_kmeans",
         "sweep": sweep,
         "batch": b,
     }
@@ -434,7 +507,8 @@ def bench_ivfpq(
         xp, sp, vp = pad_corpus(jnp.asarray(x, dtype=jnp.bfloat16), sqn, None)
 
         def flat(q, xp, sp, vp):
-            sd, si, _ = scan_topk_fused(q, xp, sp, vp, metric=Metric.L2, k=K)
+            sd, si, _ = scan_topk_fused(q, xp, sp, vp, metric=Metric.L2, k=K,
+                                        interpret=_interp())
             return jnp.sum(sd), jnp.sum(si)
 
         t_flat, _ = time_loop(flat, qpool, b, max(40, m // 4), args=(xp, sp, vp))
@@ -445,9 +519,9 @@ def bench_ivfpq(
         out["bytes_per_row_ivfpq"] = m_pq + 4 + 4  # codes + tcorr + row_id
         del xp
 
-    emit(out)
     del arrays, codes, qpool
     gc.collect()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -458,6 +532,7 @@ def bench_ivfpq(
 def bench_hnsw(n: int = 100_000, d: int = 128):
     import dataclasses
 
+    from vectorindex_tpu.bench.cache import cache_dir, cached
     from vectorindex_tpu.bench.synth import (
         exact_truth,
         lowdim_corpus,
@@ -469,26 +544,42 @@ def bench_hnsw(n: int = 100_000, d: int = 128):
     from vectorindex_tpu.utils.config import Metric
 
     x, W = lowdim_corpus(n, d, dz=16, seed=41)
-    idx = HNSWIndex(d, Metric.L2, HNSWConfig())
-    t0 = time.perf_counter()
-    idx.insert_batch([str(i) for i in range(n)], x)
-    idx.statistics()  # flushes construction
-    t_build = time.perf_counter() - t0
+    key = f"hnsw_n{n}_d{d}_m16_v1"
+    cpath = os.path.join(cache_dir(), key + ".vidx")
+    npz_path = os.path.join(cache_dir(), key + ".npz")
+    if os.path.exists(npz_path) and not os.path.exists(cpath):
+        os.remove(npz_path)  # stale sidecar from a killed run
+
+    def build():
+        idx = HNSWIndex(d, Metric.L2, HNSWConfig())
+        t0 = time.perf_counter()
+        idx.insert_batch([str(i) for i in range(n)], x)
+        idx.statistics()  # flushes construction
+        t_build = time.perf_counter() - t0
+        idx.save_container(cpath)
+        return {"build_s": np.float64(t_build)}
+
+    art, was_cached = cached(key, build)
+    t_build = float(art["build_s"])
+    idx = HNSWIndex.load_container(cpath)
 
     b = 256
     qs = lowdim_queries(W, b)
     truth = exact_truth(qs, x, K)
 
-    sweep = []
-    for efs in (64, 128):
-        idx.config = dataclasses.replace(idx.config, ef_search=efs)
-        out_holder = {}
+    def timed_search(queries, kk):
+        holder = {}
 
         def run():
-            out_holder["res"] = idx.batch_search(qs, K)
+            holder["res"] = idx.batch_search(queries, kk)
 
         t = time_host(run)
-        res = out_holder["res"]
+        return t, holder["res"]
+
+    sweep = []
+    for efs in (64, 128, 256):
+        idx.config = dataclasses.replace(idx.config, ef_search=efs)
+        t, res = timed_search(qs, K)
         found = np.full((b, K), -1, dtype=np.int64)
         for i, row in enumerate(res):
             for j, r in enumerate(row):
@@ -502,24 +593,36 @@ def bench_hnsw(n: int = 100_000, d: int = 128):
             }
         )
 
+    # B=8 serving point (HNSW's deployment niche is low-latency small-batch
+    # + churn-without-retrain; VERDICT r2 weak #5 asked for this point)
+    b8 = 8
+    idx.config = dataclasses.replace(idx.config, ef_search=128)
+    t8, _ = timed_search(qs[:b8], K)
+    serving = {
+        "batch": b8,
+        "ef_search": 128,
+        "qps": round(b8 / t8, 1),
+        "ms_per_batch": round(t8 * 1e3, 3),
+    }
+
     best = max(
         (p for p in sweep if p["recall_at_10"] >= 0.95),
         key=lambda p: p["qps"],
         default=sweep[-1],
     )
-    emit(
-        {
-            "metric": f"hnsw_m16_qps_per_chip_n{n}_d{d}",
-            "value": best["qps"],
-            "unit": "qps",
-            "vs_baseline": round(best["qps"] / REF_HNSW_QPS, 1),
-            "recall_at_10": best["recall_at_10"],
-            "at_ef_search": best["ef_search"],
-            "build_s": round(t_build, 1),
-            "sweep": sweep,
-            "batch": b,
-        }
-    )
+    return {
+        "metric": f"hnsw_m16_qps_per_chip_n{n}_d{d}",
+        "value": best["qps"],
+        "unit": "qps",
+        "vs_baseline": round(best["qps"] / REF_HNSW_QPS, 1),
+        "recall_at_10": best["recall_at_10"],
+        "at_ef_search": best["ef_search"],
+        "build_s": round(t_build, 1),
+        "build_cached": was_cached,
+        "sweep": sweep,
+        "serving_b8": serving,
+        "batch": b,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -538,30 +641,40 @@ def main(argv=None):
     run = CONFIGS if args.only is None else args.only.split(",")
     skip = set(args.skip.split(",")) if args.skip else set()
     run = [c for c in run if c not in skip]
-    # headline last, always
+
+    # the headline runs FIRST (provisional line — survives any timeout) and
+    # its result is re-emitted LAST (the driver parses the final line)
+    flat_out = None
     if "flat" in run:
-        run = [c for c in run if c != "flat"] + ["flat"]
+        run = [c for c in run if c != "flat"]
+        try:
+            flat_out = bench_flat(args.iters)
+            emit({**flat_out, "provisional": True})
+        except Exception as e:  # noqa: BLE001
+            emit({"metric": "flat_FAILED", "value": 0, "unit": "error",
+                  "vs_baseline": 0, "error": f"{type(e).__name__}: {e}"})
 
     for cfg in run:
         try:
             if cfg == "adc":
-                bench_adc(args.iters)
+                emit(bench_adc(args.iters))
             elif cfg == "ivf":
-                bench_ivf(max(40, args.iters))
+                emit(bench_ivf(max(40, args.iters)))
             elif cfg == "ivfpq":
-                bench_ivfpq(iters=args.iters)
+                emit(bench_ivfpq(iters=args.iters))
             elif cfg == "hnsw":
-                bench_hnsw()
+                emit(bench_hnsw())
             elif cfg == "crossover10m":
-                bench_ivfpq(
+                emit(bench_ivfpq(
                     n=10_000_000, d=96, nlist=4096, iters=max(4, args.iters // 4),
                     name="ivfpq_crossover", with_flat=True,
-                )
-            elif cfg == "flat":
-                bench_flat(args.iters)
+                ))
         except Exception as e:  # noqa: BLE001 — one config must not kill the rest
             emit({"metric": f"{cfg}_FAILED", "value": 0, "unit": "error",
                   "vs_baseline": 0, "error": f"{type(e).__name__}: {e}"})
+
+    if flat_out is not None:
+        emit(flat_out)
 
 
 if __name__ == "__main__":

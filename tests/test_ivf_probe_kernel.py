@@ -172,3 +172,56 @@ def test_rank_major_end_to_end_recall():
     )
     si = np.asarray(si)
     assert (si[:, 0] == np.arange(b)).all()  # self top-1 with all lists probed
+
+
+@pytest.mark.parametrize("skew_case", ["one_giant", "pow2_edges", "empty_heavy"])
+def test_rankseg_property_adversarial_skew(skew_case, monkeypatch):
+    """Property: the (rank, segment) 2-D grid kernel matches the per-pair
+    kernel on EVERY slot for adversarial list-length distributions — the
+    regimes where the round-2 whole-region rank-major kernel either refused
+    to engage (VMEM gate) or could not exist (probe_cap >> mean length).
+    RANK_MAJOR_VMEM is shrunk so segments are 2 blocks and nseg > 1."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import vectorindex_tpu.kernels.ivf_probe as kp
+    from vectorindex_tpu.bench.synth import pack_ivf
+    from vectorindex_tpu.ops.ivf import ivf_select
+
+    b, d, nlist, nprobe = 6, 48, 12, 7
+    monkeypatch.setattr(kp, "RANK_MAJOR_VMEM", 2 * (2 * b * 256 * d * 4))
+    rng = np.random.default_rng(hash(skew_case) % 2**31)
+    if skew_case == "one_giant":
+        lengths = [1400] + [5] * (nlist - 1)
+    elif skew_case == "pow2_edges":
+        lengths = [255, 256, 257, 512, 1, 0, 513, 2, 767, 768, 3, 100]
+    else:  # empty_heavy
+        lengths = [0] * (nlist - 2) + [900, 4]
+    n = sum(lengths)
+    assign = np.repeat(np.arange(nlist, dtype=np.int32), lengths)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    arrays, order, probe_cap = pack_ivf(x, assign, nlist, storage_dtype=jnp.float32)
+    kbr = probe_cap // kp.BLK
+    sgb = kp._seg_blocks(b, kbr, d, 4)
+    assert sgb == 2 and -(-kbr // sgb) > 1  # the 2-D grid is really exercised
+
+    q = jnp.asarray(rng.standard_normal((b, d)).astype(np.float32))
+    cent = np.stack(
+        [x[assign == i].mean(0) if (assign == i).any() else np.zeros(d) for i in range(nlist)]
+    ).astype(np.float32)
+    _, pl_ = ivf_select(q, jnp.asarray(cent), nprobe=nprobe, metric=Metric.L2)
+    starts = arrays.starts[pl_]
+    lens = arrays.lengths[pl_]
+    a = kp.ivf_probe_scores(
+        q, starts, lens, arrays.vecs, arrays.sqnorms,
+        nprobe=nprobe, probe_cap=probe_cap, metric=Metric.L2, interpret=True,
+    )
+    r = kp.ivf_probe_scores_rankmajor(
+        q, starts, lens, arrays.vecs, arrays.sqnorms,
+        nprobe=nprobe, probe_cap=probe_cap, metric=Metric.L2, interpret=True,
+    )
+    an, rn = np.asarray(a), np.asarray(r)
+    np.testing.assert_array_equal(np.isfinite(an), np.isfinite(rn))
+    np.testing.assert_allclose(
+        rn[np.isfinite(rn)], an[np.isfinite(an)], rtol=1e-5, atol=1e-5
+    )

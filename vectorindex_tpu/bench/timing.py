@@ -27,33 +27,36 @@ def time_loop(search_outputs_fn, qpool, b: int, m: int, repeats: int = 3,
     captured arrays lower as HLO constants, and a 256 MB constant blows the
     remote-compile request past the axon tunnel's body limit (HTTP 413)."""
 
-    def run_m(mm):
-        @jax.jit
-        def f(qpool, *args):
-            def body(i, acc):
-                q = jax.lax.dynamic_slice_in_dim(qpool, i * b, b)
-                o = search_outputs_fn(q, *args)
-                return tuple(a + x for a, x in zip(acc, o))
+    # the iteration count is a TRACED scalar: one compile serves both the
+    # M=1 and M=1+m calls (fori_loop lowers to while_loop, which also
+    # guarantees XLA can't unroll/DCE the dependent chain). Halving the
+    # compile count matters — every compile crosses the axon tunnel
+    # (VERDICT r2: bench.py must fit the driver budget).
+    @jax.jit
+    def f(mm, qpool, *args):
+        def body(i, acc):
+            q = jax.lax.dynamic_slice_in_dim(qpool, i * b, b)
+            o = search_outputs_fn(q, *args)
+            return tuple(a + x for a, x in zip(acc, o))
 
-            probe = search_outputs_fn(
-                jax.lax.dynamic_slice_in_dim(qpool, 0, b), *args
-            )
-            init = tuple(jnp.zeros((), p.dtype) for p in probe)
-            return jax.lax.fori_loop(0, mm, body, init)
+        probe = search_outputs_fn(
+            jax.lax.dynamic_slice_in_dim(qpool, 0, b), *args
+        )
+        init = tuple(jnp.zeros((), p.dtype) for p in probe)
+        return jax.lax.fori_loop(0, mm, body, init)
 
-        return f
-
-    f1, fm = run_m(1), run_m(m + 1)
-    jax.device_get(f1(qpool, *args))
-    jax.device_get(fm(qpool, *args))
+    one = jnp.asarray(1, jnp.int32)
+    many = jnp.asarray(m + 1, jnp.int32)
+    jax.device_get(f(one, qpool, *args))
+    jax.device_get(f(many, qpool, *args))
     best = None
     r = None
     for _ in range(repeats):  # best-of-N: the tunnel adds ±25% noise
         t0 = time.perf_counter()
-        jax.device_get(f1(qpool, *args))
+        jax.device_get(f(one, qpool, *args))
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        r = jax.device_get(fm(qpool, *args))
+        r = jax.device_get(f(many, qpool, *args))
         tm = time.perf_counter() - t0
         per = (tm - t1) / m
         if best is None or per < best:

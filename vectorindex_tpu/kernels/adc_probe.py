@@ -248,6 +248,9 @@ def ivf_search_pq_pallas(
     b, d = q.shape
     q = q.astype(jnp.float32)
     m, ks, _ = books.centroids.shape
+    # ivf_select clamps nprobe to nlist; the kernel's scalar tables must
+    # agree or the grid would read past the prefetched (start, len) entries
+    nprobe = min(nprobe, centroids.shape[0])
     sel_dist, probe_lists = ivf_select(
         q, centroids, nprobe=nprobe, metric=metric
     )
