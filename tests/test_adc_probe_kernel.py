@@ -132,3 +132,72 @@ def test_decomposition_identity(fixture):
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(base + qsum + tval), atol=1e-3, rtol=1e-4
     )
+
+
+def test_hostrerank_matches_device_rerank(fixture):
+    """The host-memory rerank tier (VectorReader seam) must return the same
+    (dist, id) results as the device-resident rerank path on identical
+    state — codes-only arrays (vecs=None) prove nothing touches HBM vecs."""
+    from vectorindex_tpu.kernels.adc_probe import ivf_search_pq_hostrerank
+    from vectorindex_tpu.ops.ivf import IVFListArrays
+    from vectorindex_tpu.ops.rerank import ArrayReader, CallbackReader, CSRReader
+
+    f = fixture
+    k = 10
+    d1, i1 = ivf_search_pq_pallas(
+        f["q"], f["cent"], f["arrays"], f["codes"], f["tcorr"], f["books"],
+        nprobe=f["kc"], probe_cap=f["cap"], k=k, rerank_c=128, interpret=True,
+    )
+    meta_only = IVFListArrays(
+        vecs=None, row_ids=f["arrays"].row_ids, sqnorms=None,
+        starts=f["arrays"].starts, lengths=f["arrays"].lengths,
+    )
+    readers = [
+        ArrayReader(np.asarray(f["arrays"].vecs, dtype=np.float32)),
+        CSRReader(f["x"], np.asarray(f["arrays"].row_ids)),
+        CallbackReader(
+            lambda rows: np.asarray(f["arrays"].vecs)[rows].astype(np.float32)
+        ),
+    ]
+    for reader in readers:
+        d2, i2 = ivf_search_pq_hostrerank(
+            f["q"], f["cent"], meta_only, f["codes"], f["tcorr"], f["books"],
+            reader, nprobe=f["kc"], probe_cap=f["cap"], k=k, rerank_c=128,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(
+            np.asarray(d1), np.asarray(d2), atol=1e-4, rtol=1e-4
+        )
+
+
+def test_hostrerank_pack_without_vecs():
+    """pack_ivf(with_vecs=False) + CSRReader: full host-tier flow on a
+    synthetic corpus, recall vs brute force."""
+    from vectorindex_tpu.bench.synth import (
+        exact_truth, pack_ivf, pq_csr_state, recall_at_k, trained_quantizer,
+    )
+    from vectorindex_tpu.kernels.adc_probe import ivf_search_pq_hostrerank
+    from vectorindex_tpu.ops.rerank import CSRReader
+
+    rng = np.random.default_rng(2)
+    n, d, nlist, b, k = 4000, 32, 8, 4, 10
+    x = rng.standard_normal((n, d)).astype(np.float32) * 0.1
+    x[:, :4] += rng.standard_normal((n, 4)) * 2  # low-dim structure
+    centers, assign = trained_quantizer(
+        x, nlist, seed=0, train_sample=2000, iters=6
+    )
+    arrays, order, cap = pack_ivf(x, assign, nlist, with_vecs=False)
+    assert arrays.vecs is None and arrays.sqnorms is None
+    books, codes, tcorr = pq_csr_state(
+        x, assign, centers, arrays, order, m=8, ks=16, iters=6
+    )
+    q = x[:b] + 0.01 * rng.standard_normal((b, d)).astype(np.float32)
+    sd, si = ivf_search_pq_hostrerank(
+        q, jnp.asarray(centers), arrays, codes, tcorr, books,
+        CSRReader(x, np.asarray(arrays.row_ids)),
+        nprobe=nlist, probe_cap=cap, k=k, rerank_c=256, interpret=True,
+    )
+    truth = exact_truth(q, x, k)
+    assert recall_at_k(np.asarray(si), truth) >= 0.9
+    assert (np.asarray(si)[:, 0] == np.arange(b)).all()

@@ -80,12 +80,12 @@ def test_bench_ivfpq_smoke():
 
 def test_bench_hnsw_smoke():
     bench = _load_bench()
-    out = bench.bench_hnsw(n=1500, d=32)
+    out = bench.bench_hnsw(n=1500, d=32, iters=2)
     _check(out)
     assert "serving_b8" in out and out["serving_b8"]["batch"] == 8
     assert [p["ef_search"] for p in out["sweep"]] == [64, 128, 256]
     # graph-container cache round-trip
-    out2 = bench.bench_hnsw(n=1500, d=32)
+    out2 = bench.bench_hnsw(n=1500, d=32, iters=2)
     assert out2["build_cached"] is True
 
 
@@ -108,3 +108,12 @@ def test_bench_main_emits_headline_first_and_last(capsys, monkeypatch):
     assert lines[0]["metric"] == "flat_x" and lines[0].get("provisional")
     assert lines[-1]["metric"] == "flat_x" and "provisional" not in lines[-1]
     assert lines[1]["metric"] == "adc_x"
+
+
+def test_bench_hostpq_smoke():
+    bench = _load_bench()
+    out = bench.bench_hostpq(n=6000, d=32, nlist=8, m_pq=4, b=4, nprobe=8,
+                             repeats=1)
+    _check(out)
+    assert out["hbm_bytes_per_row"] == 4 + 4 + 4
+    assert "device_candidates_qps" in out and "pcie_bytes_per_batch" in out

@@ -174,6 +174,87 @@ def test_rank_major_end_to_end_recall():
     assert (si[:, 0] == np.arange(b)).all()  # self top-1 with all lists probed
 
 
+def test_binned_topc_complete_and_matches_pair():
+    """Well-spread data: the binned kernel's candidates must contain the
+    exact top-k (drop proof passes) and the end-to-end result must equal the
+    pair-kernel pipeline bit-for-bit."""
+    import vectorindex_tpu.kernels.ivf_probe as kp
+    from vectorindex_tpu.bench.synth import clustered_corpus, pack_ivf
+    from vectorindex_tpu.ops.ivf import ivf_select
+
+    n, d, nlist, b, k, nprobe = 4000, 32, 16, 8, 10, 8
+    x, centers, assign = clustered_corpus(n, d, nlist=nlist, seed=11)
+    arrays, order, probe_cap = pack_ivf(x, assign, nlist, storage_dtype=jnp.float32)
+    rng = np.random.default_rng(6)
+    q = jnp.asarray(x[rng.choice(n, b)] + 0.01)
+    cent = jnp.asarray(centers)
+    _, pl_ = ivf_select(q, cent, nprobe=nprobe, metric=Metric.L2)
+    cd, ci, d4 = kp.ivf_probe_topc_rankmajor(
+        q, arrays.starts[pl_], arrays.lengths[pl_], arrays.vecs,
+        arrays.sqnorms, nprobe=nprobe, probe_cap=probe_cap,
+        metric=Metric.L2, interpret=True,
+    )
+    assert cd.shape == (b, 3 * kp.CBINS) and d4.shape == (b, kp.CBINS)
+    # the full-dist oracle: binned candidates must include its exact top-k
+    a = kp.ivf_probe_scores(
+        q, arrays.starts[pl_], arrays.lengths[pl_], arrays.vecs,
+        arrays.sqnorms, nprobe=nprobe, probe_cap=probe_cap,
+        metric=Metric.L2, interpret=True,
+    )
+    an = np.sort(np.asarray(a), axis=1)[:, :k]
+    cn = np.sort(np.asarray(cd), axis=1)[:, :k]
+    np.testing.assert_allclose(cn, an, rtol=1e-5, atol=1e-5)
+    # completeness proof holds on spread data (no fallback needed)
+    tau = cn[:, k - 1]
+    assert (np.asarray(d4).min(axis=1) > tau).all()
+
+
+def test_binned_drop_detector_fires_on_class_crowding():
+    """FIVE identical rows in one residue class (same list) overflow the
+    2-in-step + 3-tier capacity; drop_min must record a dropped value at
+    the tie distance so the caller's completeness proof fails (and the
+    search wrapper falls back — covered by test_strict_tie_contract)."""
+    import vectorindex_tpu.kernels.ivf_probe as kp
+    from vectorindex_tpu.bench.synth import pack_ivf
+    from vectorindex_tpu.ops.ivf import ivf_select
+
+    d, nlist = 16, 2
+    # list 0: 5 duplicates at slot positions 0, C, 2C, ... — all class 0.
+    # pack_ivf keeps one list contiguous, slots = CSR offsets 0..4 — to
+    # crowd ONE class we need rows spaced C apart: use 5 blocks' worth of
+    # filler so the duplicates land at offsets {0, 256, 512, 768, 1024}.
+    nfill = 4 * kp.CBINS - 4
+    dup = np.ones((5, d), np.float32)
+    fill = 100.0 + np.arange(nfill * d, dtype=np.float32).reshape(nfill, d) / (nfill * d)
+    x = np.concatenate([dup, fill])
+    # interleave: dup rows at list-0 offsets 0,256,512,768,1024
+    slots = [0, 256, 512, 768, 1024]
+    xx = np.empty_like(x)
+    rest = [i for i in range(len(x)) if i not in slots]
+    xx[slots] = dup
+    xx[rest] = fill
+    assign = np.zeros(len(x), np.int32)
+    arrays, order, probe_cap = pack_ivf(xx, assign, nlist, storage_dtype=jnp.float32)
+    q = jnp.asarray(np.ones((1, d), np.float32))
+    cent = np.zeros((nlist, d), np.float32)
+    _, pl_ = ivf_select(q, jnp.asarray(cent), nprobe=1, metric=Metric.L2)
+    cd, ci, d4 = kp.ivf_probe_topc_rankmajor(
+        q, arrays.starts[pl_], arrays.lengths[pl_], arrays.vecs,
+        arrays.sqnorms, nprobe=1, probe_cap=probe_cap,
+        metric=Metric.L2, interpret=True,
+    )
+    # 5 zero-distance ties in class 0, capacity <= 4 → a 0.0 drop recorded
+    assert float(np.asarray(d4)[0].min()) == 0.0
+    # and the end-to-end search still returns the 5 duplicates exactly
+    sd, si = kp.ivf_search_flat_pallas(
+        q, jnp.asarray(cent), arrays, nprobe=1, probe_cap=probe_cap,
+        k=5, metric=Metric.L2, interpret=True,
+    )
+    got = set(np.asarray(si)[0].tolist())
+    want = set(np.asarray(arrays.row_ids)[np.asarray(slots)].tolist())
+    assert got == want
+
+
 @pytest.mark.parametrize("skew_case", ["one_giant", "pow2_edges", "empty_heavy"])
 def test_rankseg_property_adversarial_skew(skew_case, monkeypatch):
     """Property: the (rank, segment) 2-D grid kernel matches the per-pair
@@ -202,8 +283,9 @@ def test_rankseg_property_adversarial_skew(skew_case, monkeypatch):
     x = rng.standard_normal((n, d)).astype(np.float32)
     arrays, order, probe_cap = pack_ivf(x, assign, nlist, storage_dtype=jnp.float32)
     kbr = probe_cap // kp.BLK
-    sgb = kp._seg_blocks(b, kbr, d, 4)
-    assert sgb == 2 and -(-kbr // sgb) > 1  # the 2-D grid is really exercised
+    d_pad = arrays.vecs.shape[1]  # storage is lane-padded to 128
+    sgb = kp._seg_blocks(b, kbr, d_pad, 4)
+    assert sgb >= 1 and -(-kbr // sgb) > 1  # the 2-D grid is really exercised
 
     q = jnp.asarray(rng.standard_normal((b, d)).astype(np.float32))
     cent = np.stack(

@@ -98,12 +98,18 @@ def pack_ivf(
     assign: np.ndarray,
     nlist: int,
     storage_dtype=jnp.bfloat16,
+    with_vecs: bool = True,
 ) -> Tuple[IVFListArrays, np.ndarray, int]:
     """Pack (x, assignments) into the CSR device layout.
 
     Returns (arrays, order, probe_cap): `order` maps packed row -> original
     index (row_ids[row] == order[row]); probe_cap is the static per-list row
-    budget for the Pallas probe kernels (256-multiple >= the longest list)."""
+    budget for the Pallas probe kernels (256-multiple >= the longest list).
+
+    with_vecs=False builds the codes-only/host-rerank tier: vecs and
+    sqnorms stay None (never hit HBM) — only the CSR metadata (starts,
+    lengths, row_ids) is device-resident. Valid for the PQ search paths,
+    which score from code arrays (kernels/adc_probe)."""
     from vectorindex_tpu.kernels.ivf_probe import GUARD_BLOCKS
 
     n = x.shape[0]
@@ -119,15 +125,21 @@ def pack_ivf(
             assign[order]
         ]
     )
-    vecs = np.zeros((total, x.shape[1]), np.float32)
-    vecs[rows] = x[order]
     row_ids = np.full(total, -1, np.int32)
     row_ids[rows] = order
-    sqn = np.einsum("nd,nd->n", vecs, vecs, dtype=np.float32)
+    if with_vecs:
+        dpad = x.shape[1] + (-x.shape[1]) % 128  # Mosaic lane alignment
+        vecs = np.zeros((total, dpad), np.float32)
+        vecs[rows, : x.shape[1]] = x[order]
+        sqn = np.einsum("nd,nd->n", vecs, vecs, dtype=np.float32)
+        vecs_dev = jnp.asarray(vecs, dtype=storage_dtype)
+        sqn_dev = jnp.asarray(sqn)
+    else:
+        vecs_dev, sqn_dev = None, None
     arrays = IVFListArrays(
-        vecs=jnp.asarray(vecs, dtype=storage_dtype),
+        vecs=vecs_dev,
         row_ids=jnp.asarray(row_ids),
-        sqnorms=jnp.asarray(sqn),
+        sqnorms=sqn_dev,
         starts=jnp.asarray(starts),
         lengths=jnp.asarray(lengths),
     )
@@ -147,20 +159,27 @@ def pq_csr_state(
     iters: int = 12,
     train_sample: int = 131072,
     seed: int = 7,
+    encode_chunk: int = 4_000_000,
 ):
     """Residual-PQ state in packed row order:
     (books, codes [N_pad, m] u8, tcorr [N_pad] f32). Dead rows are zeros
-    (masked by list lengths in the probe kernel)."""
+    (masked by list lengths in the probe kernel).
+
+    Encoding streams host→device in `encode_chunk`-row chunks: a 30M×96
+    corpus needs 11.5 GB for x alone — residual+encode over the whole array
+    would double-buffer past HBM. Chunking keeps device residency at
+    ~2·chunk·d·4 bytes regardless of n (the host tier's whole point)."""
     from vectorindex_tpu.ops import pq as pq_ops
 
     n = x.shape[0]
     rng = np.random.default_rng(seed)
     samp = rng.choice(n, min(train_sample, n), replace=False)
     key = jax.random.key(seed)
+    cent_dev = jnp.asarray(centers)
     books = pq_ops.pq_train_residual(
         key,
         jnp.asarray(x[samp]),
-        jnp.asarray(centers),
+        cent_dev,
         jnp.asarray(assign[samp]),
         m=m,
         ks=ks,
@@ -172,15 +191,21 @@ def pq_csr_state(
         np.asarray(arrays.lengths),
     )
     live_rows = np.flatnonzero(np.asarray(arrays.row_ids) >= 0).astype(np.int32)
-    res = pq_ops.residuals(
-        jnp.asarray(x[order]), jnp.asarray(centers), jnp.asarray(assign[order])
-    )
-    codes_live = np.asarray(pq_ops.pq_encode(res, books))
-    tcorr_live = np.asarray(
-        pq_ops.pq_row_corrections(
-            jnp.asarray(codes_live), jnp.asarray(row_list), jnp.asarray(centers), books
+    codes_live = np.empty((n, m), np.uint8)
+    tcorr_live = np.empty(n, np.float32)
+    for s in range(0, n, encode_chunk):
+        e = min(s + encode_chunk, n)
+        res = pq_ops.residuals(
+            jnp.asarray(x[order[s:e]]), cent_dev, jnp.asarray(assign[order[s:e]])
         )
-    )
+        cchunk = pq_ops.pq_encode(res, books)
+        codes_live[s:e] = np.asarray(cchunk)
+        tcorr_live[s:e] = np.asarray(
+            pq_ops.pq_row_corrections(
+                cchunk, jnp.asarray(row_list[s:e]), cent_dev, books
+            )
+        )
+        del res, cchunk
     total = int(np.asarray(arrays.row_ids).shape[0])
     codes = np.zeros((total, m), np.uint8)
     codes[live_rows] = codes_live
@@ -212,6 +237,37 @@ def exact_truth(
         _, ids = jax.lax.top_k(-dist, k)
         out.append(np.asarray(ids))
     return np.concatenate(out, axis=0)
+
+
+def exact_truth_chunked(
+    q: np.ndarray, x: np.ndarray, k: int, row_chunk: int = 2_000_000
+) -> np.ndarray:
+    """exact_truth for corpora too large for device residency: stream the
+    corpus through HBM in row chunks, keep a running top-k merge on host."""
+    best_d = np.full((q.shape[0], k), np.inf, np.float32)
+    best_i = np.full((q.shape[0], k), -1, np.int64)
+    qj = jnp.asarray(q)
+    for s in range(0, x.shape[0], row_chunk):
+        xj = jnp.asarray(x[s : s + row_chunk])
+        dist = (
+            jnp.sum(qj**2, 1)[:, None]
+            + jnp.sum(xj**2, 1)[None, :]
+            - 2.0
+            * jax.lax.dot_general(
+                qj, xj, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )
+        cd, ci = jax.lax.top_k(-dist, k)
+        cd, ci = np.asarray(-cd), np.asarray(ci) + s
+        md = np.concatenate([best_d, cd], axis=1)
+        mi = np.concatenate([best_i, ci], axis=1)
+        sel = np.argsort(md, axis=1, kind="stable")[:, :k]
+        best_d = np.take_along_axis(md, sel, axis=1)
+        best_i = np.take_along_axis(mi, sel, axis=1)
+        del xj, dist
+    return best_i
 
 
 def recall_at_k(found_ids: np.ndarray, truth_ids: np.ndarray) -> float:

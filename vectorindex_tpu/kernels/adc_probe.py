@@ -29,6 +29,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -292,8 +293,11 @@ def ivf_search_pq_pallas(
         rrows = jnp.where(missing, 0, rows)
         xg = arrays.vecs[rrows].astype(jnp.float32)
         sg = arrays.sqnorms[rrows]
+        qr = q
+        if q.shape[1] != xg.shape[-1]:  # lane-padded rerank source
+            qr = jnp.pad(q, ((0, 0), (0, xg.shape[-1] - q.shape[1])))
         g = jnp.einsum(
-            "bd,bcd->bc", q, xg,
+            "bd,bcd->bc", qr, xg,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
@@ -317,3 +321,122 @@ def ivf_search_pq_pallas(
             [si, jnp.full((b, padk), INVALID_ID, si.dtype)], axis=1
         )
     return sd, si
+
+
+# ---------------------------------------------------------------------------
+# host-memory rerank tier (VectorReader seam)
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "nprobe", "probe_cap", "c", "metric", "packed_u4", "interpret",
+    ),
+)
+def pq_probe_candidates(
+    q: Array,
+    centroids: Array,
+    arrays,  # ops.ivf.IVFListArrays (vecs/sqnorms may be None — unused)
+    codes: Array,
+    tcorr: Array,
+    books,
+    *,
+    nprobe: int,
+    probe_cap: int,
+    c: int,
+    metric: Metric = Metric.L2,
+    packed_u4: bool = False,
+    interpret: bool = False,
+) -> Tuple[Array, Array, Array]:
+    """ADC probe → top-C candidates only: (adc_dist [B,c] f32,
+    csr_rows [B,c] i32 clipped, internal ids [B,c] i32, INVALID where dead).
+
+    The device half of the host-rerank tier: nothing here touches the
+    full-precision vectors, so `arrays` may carry vecs=None/sqnorms=None —
+    HBM holds codes (+tcorr +row_ids) only, ~24 B/row at pq16."""
+    from vectorindex_tpu.ops import pq as pq_ops
+    from vectorindex_tpu.ops.ivf import ivf_select
+
+    b, d = q.shape
+    q = q.astype(jnp.float32)
+    m, ks, _ = books.centroids.shape
+    nprobe = min(nprobe, centroids.shape[0])
+    sel_dist, probe_lists = ivf_select(
+        q, centroids, nprobe=nprobe, metric=metric
+    )
+    if metric == Metric.L2:
+        lut_q = pq_ops.pq_lut_q_l2(q, books)
+    elif metric == Metric.INNER_PRODUCT:
+        lut_q = pq_ops.pq_lut_ip(q, books)
+    else:
+        raise ValueError("pq_probe_candidates supports L2 and IP")
+    base = sel_dist
+
+    start_rows = arrays.starts[probe_lists]
+    live_rows = arrays.lengths[probe_lists]
+    partial_d = adc_probe_scores(
+        lut_q, start_rows, live_rows, codes, tcorr,
+        nprobe=nprobe, probe_cap=probe_cap, m=m, ks=ks,
+        packed_u4=packed_u4, interpret=interpret,
+    )
+    dist = (
+        partial_d.reshape(b, nprobe, probe_cap) + base[:, :, None]
+    ).reshape(b, nprobe * probe_cap)
+    cc = min(c, dist.shape[1])
+    cd, cp = topk(dist, cc, strict_ties=False)
+    probe_of = cp // probe_cap
+    off = cp % probe_cap
+    rows = jnp.take_along_axis(start_rows, probe_of, axis=1) + off
+    rows = jnp.clip(rows, 0, arrays.row_ids.shape[0] - 1)
+    iids = arrays.row_ids[rows]
+    missing = ~jnp.isfinite(cd)
+    rows = jnp.where(missing, 0, rows)
+    iids = jnp.where(missing, INVALID_ID, iids)
+    return cd, rows, iids
+
+
+def ivf_search_pq_hostrerank(
+    q,
+    centroids: Array,
+    arrays,  # vecs/sqnorms may be None (codes-only HBM residency)
+    codes: Array,
+    tcorr: Array,
+    books,
+    reader,  # ops.rerank.VectorReader — host/full-precision source
+    *,
+    nprobe: int,
+    probe_cap: int,
+    k: int,
+    rerank_c: int = 128,
+    metric: Metric = Metric.L2,
+    packed_u4: bool = False,
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """IVF-PQ search with the exact-rerank source OUTSIDE device memory
+    (reference VectorReader seam, ExactRerank.swift:81-96).
+
+    Three stages: (1) on-device ADC probe + top-C (pq_probe_candidates),
+    (2) host gather of ONLY the B·C winning rows through `reader`,
+    (3) on-device f32-HIGHEST rerank + strict (score, id) top-k
+    (ops.rerank.rerank_gathered). Per-batch PCIe traffic is B·C·d·4 bytes
+    (~0.5 MB at B=8, C=128, d=96) instead of an HBM-resident corpus."""
+    from vectorindex_tpu.ops.rerank import rerank_gathered
+
+    q = jnp.asarray(np.asarray(q, dtype=np.float32))
+    b, d = q.shape
+    p = min(nprobe, centroids.shape[0]) * probe_cap
+    kk = min(k, p)
+    c = min(max(rerank_c, 4 * kk, 128), p)
+    cd, rows, iids = pq_probe_candidates(
+        q, centroids, arrays, codes, tcorr, books,
+        nprobe=nprobe, probe_cap=probe_cap, c=c, metric=metric,
+        packed_u4=packed_u4, interpret=interpret,
+    )
+    rows_np = np.asarray(rows)  # [B, c] — the only device→host transfer
+    g = reader.gather(rows_np.reshape(-1))  # [B·c, d or d_pad] — a reader
+    # may serve lane-padded rows (e.g. ArrayReader over packed storage)
+    xg = g.reshape(b, rows_np.shape[1], g.shape[-1])
+    return rerank_gathered(
+        q, jnp.asarray(xg), cd, iids, k=k, metric=metric
+    )

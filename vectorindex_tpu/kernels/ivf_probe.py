@@ -160,6 +160,9 @@ def ivf_probe_scores(
     """Distances for every (query, probe, slot) → [B, nprobe·probe_cap] f32
     with +inf in dead slots. Probe-local slot p maps to corpus row
     start_rows[b, p // probe_cap] + p % probe_cap."""
+    if q.shape[1] != vecs.shape[1]:  # lane-padded storage (Mosaic needs
+        # the HBM array's last dim 128-aligned); zero q columns are neutral
+        q = jnp.pad(q, ((0, 0), (0, vecs.shape[1] - q.shape[1])))
     b, d = q.shape
     assert probe_cap % BLK == 0 and vecs.shape[0] % BLK == 0
     # KB-block DMA chunks: the candidate region and the source arrays must
@@ -261,35 +264,61 @@ def ivf_search_flat_pallas(
         # (ADVICE r2 #3)
         pad += GUARD_BLOCKS * BLK
         vecs = jnp.concatenate(
-            [vecs, jnp.zeros((pad, d), vecs.dtype)], axis=0
+            [vecs, jnp.zeros((pad, vecs.shape[1]), vecs.dtype)], axis=0
         )
         sqn = jnp.concatenate([sqn, jnp.zeros((pad,), sqn.dtype)])
     start_rows = arrays.starts[probe_lists]  # [B, nprobe]
     live_rows = arrays.lengths[probe_lists]
-    if rank_major_fits(b, probe_cap, vecs.shape[1], vecs.dtype.itemsize):
-        dist = ivf_probe_scores_rankmajor(
-            q, start_rows, live_rows, vecs, sqn,
-            nprobe=nprobe, probe_cap=probe_cap, metric=metric,
-            interpret=interpret,
-        )
-    else:
+    p_total = nprobe * probe_cap
+
+    def _pair_path():
+        """Exhaustive per-pair kernel + XLA top-C (always complete)."""
         dist = ivf_probe_scores(
             q, start_rows, live_rows, vecs, sqn,
             nprobe=nprobe, probe_cap=probe_cap, metric=metric,
             interpret=interpret,
         )  # [B, nprobe·probe_cap]
+        cdp, cpp = topk(dist, c, strict_ties=False)
+        probe_of = cpp // probe_cap
+        off = cpp % probe_cap
+        rws = jnp.take_along_axis(start_rows, probe_of, axis=1) + off
+        return cdp, jnp.clip(rws, 0, arrays.row_ids.shape[0] - 1)
 
-    # epilogue: position top-C (ties by slot position — deterministic), then
-    # gather internal ids for just C rows and apply the strict (score, id)
-    # contract (reference TopK.swift:8-30) on the survivors.
-    p = dist.shape[1]
-    kk = min(k, p)
-    c = min(max(4 * kk, 128), p)
-    cd, cp = topk(dist, c, strict_ties=False)
-    probe_of = cp // probe_cap
-    off = cp % probe_cap
-    rows = jnp.take_along_axis(start_rows, probe_of, axis=1) + off
-    rows = jnp.clip(rows, 0, arrays.row_ids.shape[0] - 1)
+    if rank_major_fits(b, probe_cap, vecs.shape[1], vecs.dtype.itemsize) and (
+        k <= 2 * CBINS
+    ):
+        # serving fast path: candidates are selected IN-KERNEL (binned
+        # minima keyed by CSR row) — no [B, nprobe·probe_cap] matrix, no
+        # XLA lax.top_k over it (that epilogue measured 191 µs vs 143 µs
+        # for the whole kernel at 1M/B=8/nprobe=32)
+        cand_d, cand_rows, drop_min = ivf_probe_topc_rankmajor(
+            q, start_rows, live_rows, vecs, sqn,
+            nprobe=nprobe, probe_cap=probe_cap, metric=metric,
+            interpret=interpret,
+        )  # [B, 3·CBINS]
+        c_total = min(cand_d.shape[1], p_total)
+        kk = min(k, c_total)
+        c = min(max(4 * kk, 128), c_total)
+        cd_f, rows_f = topk(cand_d, c, ids=cand_rows, strict_ties=False)
+        rows_f = jnp.clip(rows_f, 0, arrays.row_ids.shape[0] - 1)
+        # exactness proof: no dropped value may reach the kk-th candidate
+        # distance (== tau would still break the strict tie contract). If
+        # any query fails the proof, re-run the batch through the pair
+        # kernel — the IVF analog of scan_fused's pass-2 verification.
+        tau = cd_f[:, kk - 1]
+        dmin = jnp.min(drop_min, axis=1)
+        complete = jnp.where(
+            jnp.isfinite(tau), dmin > tau, ~jnp.isfinite(dmin)
+        )
+        cd, rows = jax.lax.cond(
+            jnp.all(complete),
+            lambda: (cd_f, rows_f),
+            _pair_path,
+        )
+    else:
+        kk = min(k, p_total)
+        c = min(max(4 * kk, 128), p_total)
+        cd, rows = _pair_path()
     iids = arrays.row_ids[rows]
     missing = ~jnp.isfinite(cd)
     iids = jnp.where(missing, INVALID_ID, iids)
@@ -298,8 +327,11 @@ def ivf_search_flat_pallas(
         rrows = jnp.where(missing, 0, rows)
         src = vecs if rerank_vecs is None else rerank_vecs
         xg = src[rrows].astype(jnp.float32)
+        qr = q
+        if q.shape[1] != xg.shape[-1]:  # lane-padded rerank source
+            qr = jnp.pad(q, ((0, 0), (0, xg.shape[-1] - q.shape[1])))
         g = jnp.einsum(
-            "bd,bcd->bc", q, xg,
+            "bd,bcd->bc", qr, xg,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
@@ -479,6 +511,301 @@ def _probe_rankseg_kernel(
         out_ref[:] = jnp.full(out_ref.shape, INVALID_DIST, jnp.float32)
 
 
+#: candidate bins per query for the binned rank-major kernel (= BLK so one
+#: 256-lane block is exactly one residue-class pass)
+CBINS = 256
+
+
+def _dma_rungs(sgb: int) -> tuple:
+    """Predicated DMA ladder for one segment: one bulk rung of ~half the
+    segment plus single-block rungs → ((offset, nblocks), ...).
+
+    A single whole-segment DMA copies sgb·256 rows even when only one block
+    is live (1.57× measured HBM waste at 1M/1024-list shapes — the kernel is
+    bandwidth-bound, so waste is latency). Per-block predication would cut
+    waste to <1.06× but costs sgb DMA issues per (query, step). The ladder
+    is the compromise: lists near the mean length take the bulk rung + one
+    single (2 issues), and copied rows track ceil(live/256)·256 closely."""
+    bulk = max(1, sgb // 2)
+    rungs = [(0, bulk)]
+    off = bulk
+    while off < sgb:
+        rungs.append((off, 1))
+        off += 1
+    return tuple(rungs)
+
+
+def _probe_rankseg_binned_kernel(
+    sb_ref,  # scalar prefetch: [nprobe*B] i32 start block, rank-major
+    lr_ref,  # scalar prefetch: [nprobe*B] i32 live rows, rank-major
+    q_ref,  # [B, d] f32
+    vecs_ref,  # [NB, BLK, d] storage dtype, HBM
+    sqn_ref,  # [NB, 1, BLK] f32, HBM
+    d1_ref, i1_ref, d2_ref, i2_ref, d3_ref, i3_ref,  # [B, CBINS] tiers
+    d4_ref,  # [B, CBINS] min DROPPED value per class (loss detector)
+    buf,  # VMEM (2, B, sgb, BLK, d)
+    sbuf,  # VMEM (2, B, sgb, 1, BLK) f32
+    sems_v,  # DMA semaphores (2, B, nrungs)
+    sems_s,  # DMA semaphores (2, B)
+    *,
+    nprobe: int,
+    nseg: int,
+    sgb: int,
+    rungs: tuple,
+    metric: Metric,
+):
+    """Rank-segment probe with IN-KERNEL candidate selection: instead of
+    writing [B, nprobe·probe_cap] distances for an XLA top-C pass (191 µs of
+    the 335 µs round-trip at serving shapes — more than the kernel itself),
+    each step folds its scores into the same two-in-step + three-tier binned
+    minima the fused flat scan uses (scan_fused._candidates_kernel), keyed
+    by CSR row. Only [B, 3·CBINS] candidates leave the kernel.
+
+    Binned selection can DROP a candidate when four entries crowd one
+    residue class; d4 tracks the minimum dropped value per class, so the
+    caller can prove no needed candidate was lost (min(d4) > tau) and fall
+    back to the exhaustive pair kernel otherwise — the IVF analog of the
+    fused flat scan's pass-2 verification (same exact-with-probability-1
+    contract within probed lists)."""
+    t = pl.program_id(0)
+    b = q_ref.shape[0]
+    seg_rows = sgb * BLK
+    r = t // nseg
+    s = jax.lax.rem(t, nseg)
+
+    @pl.when(t == 0)
+    def _():
+        for dref, iref in ((d1_ref, i1_ref), (d2_ref, i2_ref), (d3_ref, i3_ref)):
+            dref[:] = jnp.full(dref.shape, INVALID_DIST, jnp.float32)
+            iref[:] = jnp.zeros(iref.shape, jnp.int32)
+        d4_ref[:] = jnp.full(d4_ref.shape, INVALID_DIST, jnp.float32)
+
+    def step_dmas(tt, slot):
+        rr = tt // nseg
+        ss = jax.lax.rem(tt, nseg)
+        base = rr * b
+        out = []
+        for j in range(b):
+            live = lr_ref[base + j] - ss * seg_rows
+            start = sb_ref[base + j] + ss * sgb
+            for ri, (off, ln) in enumerate(rungs):
+                out.append(
+                    (
+                        live > off * BLK,
+                        pltpu.make_async_copy(
+                            vecs_ref.at[pl.ds(start + off, ln)],
+                            buf.at[slot, j, pl.ds(off, ln)],
+                            sems_v.at[slot, j, ri],
+                        ),
+                    )
+                )
+            out.append(
+                (
+                    live > 0,
+                    pltpu.make_async_copy(
+                        sqn_ref.at[pl.ds(start, sgb)],
+                        sbuf.at[slot, j],
+                        sems_s.at[slot, j],
+                    ),
+                )
+            )
+        return out
+
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _():
+        for cond, cp in step_dmas(0, 0):
+            @pl.when(cond)
+            def _():
+                cp.start()
+
+    @pl.when(t + 1 < nprobe * nseg)
+    def _():
+        for cond, cp in step_dmas(t + 1, 1 - slot):
+            @pl.when(cond)
+            def _():
+                cp.start()
+
+    for cond, cp in step_dmas(t, slot):
+        @pl.when(cond)
+        def _():
+            cp.wait()
+
+    # SMEM allows only scalar loads in compiled mode: assemble [B, 1]
+    live = jnp.concatenate(
+        [(lr_ref[r * b + j] - s * seg_rows).reshape(1, 1) for j in range(b)],
+        axis=0,
+    )
+    sbase = jnp.concatenate(
+        [
+            ((sb_ref[r * b + j] + s * sgb) * BLK).reshape(1, 1)
+            for j in range(b)
+        ],
+        axis=0,
+    )
+    any_live = jnp.max(live) > 0
+
+    @pl.when(any_live)
+    def _():
+        d = q_ref.shape[1]
+        x = buf[slot].reshape(b * seg_rows, d)
+        qx = q_ref[:].astype(vecs_ref.dtype)
+        g_all = jax.lax.dot_general(
+            qx,
+            x,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(b, b, seg_rows)
+        eye = (
+            jax.lax.broadcasted_iota(jnp.int32, (b, b, 1), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (b, b, 1), 1)
+        )
+        # select-then-sum, NOT multiply-by-mask: a query whose segment is
+        # dead skipped its DMA, so its buffer rows are uninitialized VMEM —
+        # possibly NaN/Inf — and 0·NaN would poison OTHER queries' diagonal
+        g = jnp.sum(jnp.where(eye, g_all, 0.0), axis=1)  # [B, seg]
+        sq = sbuf[slot].reshape(b, seg_rows)
+        qn = jnp.sum(
+            jnp.square(q_ref[:].astype(jnp.float32)), axis=1, keepdims=True
+        )
+        if metric == Metric.L2:
+            dist = qn + sq - 2.0 * g
+        elif metric == Metric.INNER_PRODUCT:
+            dist = -g
+        elif metric == Metric.COSINE:
+            qinv = jax.lax.rsqrt(jnp.maximum(qn, 1e-30))
+            xinv = jnp.where(sq > 0, jax.lax.rsqrt(jnp.maximum(sq, 1e-30)), 0.0)
+            dist = 1.0 - g * qinv * xinv
+        else:
+            raise ValueError(f"unsupported metric {metric}")
+        lane = jax.lax.broadcasted_iota(jnp.int32, (b, seg_rows), 1)
+        dist = jnp.where(lane < live, dist, INVALID_DIST)
+        rows = sbase + lane  # global CSR row of every slot (candidate ids)
+
+        # two smallest per residue class within the step (sorted-2 insert)
+        cl = jax.lax.broadcasted_iota(jnp.int32, (b, CBINS), 1)
+        tm1 = dist[:, :CBINS]
+        ti1 = sbase + cl
+        tm2 = jnp.full((b, CBINS), INVALID_DIST, jnp.float32)
+        ti2 = jnp.zeros((b, CBINS), jnp.int32)
+        d4 = d4_ref[:]
+        for j in range(1, seg_rows // CBINS):
+            blk = dist[:, j * CBINS : (j + 1) * CBINS]
+            ids = rows[:, j * CBINS : (j + 1) * CBINS]
+            b1 = blk < tm1
+            b2 = blk < tm2
+            # in-step overflow (3rd+ entry of a class this step): the old
+            # tm2 falls out of the sorted-2 pair — record its value
+            d4 = jnp.where(b2, jnp.minimum(d4, tm2), jnp.minimum(d4, blk))
+            tm2 = jnp.where(b1, tm1, jnp.where(b2, blk, tm2))
+            ti2 = jnp.where(b1, ti1, jnp.where(b2, ids, ti2))
+            tm1 = jnp.where(b1, blk, tm1)
+            ti1 = jnp.where(b1, ids, ti1)
+        # merge into the three cross-step tiers (invariant m1<=m2<=m3)
+        m1, id1 = d1_ref[:], i1_ref[:]
+        m2, id2 = d2_ref[:], i2_ref[:]
+        m3, id3 = d3_ref[:], i3_ref[:]
+        for v, w in ((tm1, ti1), (tm2, ti2)):
+            c1 = v < m1
+            c2 = v < m2
+            c3 = v < m3
+            # whatever leaves the 3-chain on this insert: old m3 if v got
+            # in, else v itself (loss detector for the exactness proof)
+            d4 = jnp.minimum(d4, jnp.where(c3, m3, v))
+            m3, id3 = (
+                jnp.where(c2, m2, jnp.where(c3, v, m3)),
+                jnp.where(c2, id2, jnp.where(c3, w, id3)),
+            )
+            m2, id2 = (
+                jnp.where(c1, m1, jnp.where(c2, v, m2)),
+                jnp.where(c1, id1, jnp.where(c2, w, id2)),
+            )
+            m1, id1 = jnp.where(c1, v, m1), jnp.where(c1, w, id1)
+        d1_ref[:], i1_ref[:] = m1, id1
+        d2_ref[:], i2_ref[:] = m2, id2
+        d3_ref[:], i3_ref[:] = m3, id3
+        d4_ref[:] = d4
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nprobe", "probe_cap", "metric", "interpret"),
+)
+def ivf_probe_topc_rankmajor(
+    q: Array,  # [B, d] f32
+    start_rows: Array,  # [B, nprobe] i32
+    live_rows: Array,  # [B, nprobe] i32
+    vecs: Array,  # [N_pad, d]
+    sqnorms: Array,  # [N_pad]
+    *,
+    nprobe: int,
+    probe_cap: int,
+    metric: Metric = Metric.L2,
+    interpret: bool = False,
+) -> Tuple[Array, Array, Array]:
+    """Binned rank-major probe → (cand_dist [B, 3·CBINS] f32,
+    cand_rows [B, 3·CBINS] i32 global CSR rows; +inf/0 in dead slots,
+    drop_min [B, CBINS] f32 = per-class minimum dropped value).
+    The serving-batch fast path: candidates never round-trip through a
+    [B, nprobe·probe_cap] matrix or an XLA lax.top_k over it. Selection is
+    provably complete for query q iff min(drop_min[q]) > the k-th candidate
+    distance (caller falls back to the pair kernel otherwise)."""
+    if q.shape[1] != vecs.shape[1]:  # lane-padded storage (Mosaic needs
+        # the HBM array's last dim 128-aligned); zero q columns are neutral
+        q = jnp.pad(q, ((0, 0), (0, vecs.shape[1] - q.shape[1])))
+    b, d = q.shape
+    assert probe_cap % BLK == 0 and vecs.shape[0] % BLK == 0
+    kbr = probe_cap // BLK
+    sgb = _seg_blocks(b, kbr, d, vecs.dtype.itemsize)
+    nseg = -(-kbr // sgb)
+    rungs = _dma_rungs(sgb)
+    nb = vecs.shape[0] // BLK
+    vecs_blocked = vecs.reshape(nb, BLK, d)
+    sqn_blocked = sqnorms.astype(jnp.float32).reshape(nb, 1, BLK)
+    start_blk = (start_rows // BLK).T.reshape(-1).astype(jnp.int32)
+    lens = live_rows.T.reshape(-1).astype(jnp.int32)
+
+    out_spec = pl.BlockSpec(
+        (b, CBINS), lambda i, sb, lr: (0, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nprobe * nseg,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=(out_spec,) * 7,
+        scratch_shapes=[
+            pltpu.VMEM((2, b, sgb, BLK, d), vecs.dtype),
+            pltpu.VMEM((2, b, sgb, 1, BLK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, b, len(rungs))),
+            pltpu.SemaphoreType.DMA((2, b)),
+        ],
+    )
+    d1, i1, d2, i2, d3, i3, d4 = pl.pallas_call(
+        partial(
+            _probe_rankseg_binned_kernel,
+            nprobe=nprobe, nseg=nseg, sgb=sgb, rungs=rungs, metric=metric,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, CBINS), jnp.float32),
+            jax.ShapeDtypeStruct((b, CBINS), jnp.int32),
+        ) * 3
+        + (jax.ShapeDtypeStruct((b, CBINS), jnp.float32),),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(start_blk, lens, q.astype(jnp.float32), vecs_blocked, sqn_blocked)
+    cd = jnp.concatenate([d1, d2, d3], axis=1)
+    ci = jnp.concatenate([i1, i2, i3], axis=1)
+    return cd, ci, d4
+
+
 #: rank-major VMEM budget for the double-buffered [B, seg, d] vector tiles
 RANK_MAJOR_VMEM = 8 * 1024 * 1024
 
@@ -517,6 +844,9 @@ def ivf_probe_scores_rankmajor(
 ) -> Array:
     """Rank-major probe scores → [B, nprobe·probe_cap] f32 (same contract
     as ivf_probe_scores; chosen by the caller for serving batches)."""
+    if q.shape[1] != vecs.shape[1]:  # lane-padded storage (Mosaic needs
+        # the HBM array's last dim 128-aligned); zero q columns are neutral
+        q = jnp.pad(q, ((0, 0), (0, vecs.shape[1] - q.shape[1])))
     b, d = q.shape
     assert probe_cap % BLK == 0 and vecs.shape[0] % BLK == 0
     kbr = probe_cap // BLK

@@ -678,7 +678,7 @@ class IVFPQIndex(IVFIndex):
                 rows = np.asarray([r for r, _ in new], dtype=np.int32)
                 lists = jnp.asarray([l for _, l in new], dtype=jnp.int32)
                 rows_d = jnp.asarray(rows)
-                vecs_new = arrays.vecs[rows_d].astype(jnp.float32)
+                vecs_new = arrays.vecs[rows_d][:, : self.dimension].astype(jnp.float32)
                 codes_new, tcorr_new = self._encode_rows(vecs_new, lists)
                 codes = cache["codes"].at[rows_d].set(codes_new)
                 tcorr = cache["tcorr"].at[rows_d].set(tcorr_new)
@@ -701,7 +701,8 @@ class IVFPQIndex(IVFIndex):
         for l in range(self._store.n_lists):
             row_list[starts[l] : starts[l] + lengths[l]] = l
         codes, tcorr = self._encode_rows(
-            arrays.vecs.astype(jnp.float32), jnp.asarray(row_list)
+            arrays.vecs[:, : self.dimension].astype(jnp.float32),
+            jnp.asarray(row_list),
         )
         row_ids = np.asarray(arrays.row_ids)
         # pow2 slot-table capacity so incremental growth rarely outruns it

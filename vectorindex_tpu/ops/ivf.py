@@ -210,13 +210,17 @@ class IVFListStore:
         )
 
         total += _GB * _BLK
-        vecs = np.zeros((max(total, 1), self.dim), dtype=np.float32)
+        # lane padding: Mosaic DMAs reject HBM arrays whose last dim is not
+        # a 128-lane multiple (the probe kernels stream [KB, BLK, d] blocks)
+        # — zero columns are metric-neutral for L2/IP/cosine
+        dpad = self.dim + (-self.dim) % 128
+        vecs = np.zeros((max(total, 1), dpad), dtype=np.float32)
         row_ids = np.full(max(total, 1), -1, dtype=np.int32)
         for i in range(self.n_lists):
             n = lengths[i]
             if n:
                 v = np.stack(self._lists_vecs[i])
-                vecs[starts[i] : starts[i] + n] = v
+                vecs[starts[i] : starts[i] + n, : self.dim] = v
                 row_ids[starts[i] : starts[i] + n] = self._lists_ids[i]
         sqnorms = np.einsum("nd,nd->n", vecs, vecs, dtype=np.float32)
         tsarr = None
@@ -350,6 +354,10 @@ def ivf_search_flat(
     """
     b = q.shape[0]
     _, probe_lists = ivf_select(q, centroids, nprobe=nprobe, metric=metric)
+    dstore = arrays.vecs.shape[1]
+    if q.shape[1] != dstore:  # lane-padded storage: pad q to match (zeros
+        # contribute nothing to any metric)
+        q = jnp.pad(q, ((0, 0), (0, dstore - q.shape[1])))
 
     def chunk_fn(qc_and_pl):
         qc, pl = qc_and_pl  # [C, d], [C, nprobe]

@@ -133,6 +133,8 @@ def rerank_rows(
     """Exact rerank of ADC candidates against original vectors (reference
     IVFPostADC.rerankTopKFlat + #40). cand ids map to CSR rows via the
     device-side slot→row table."""
+    if q.shape[1] != vecs.shape[1]:  # lane-padded rerank source
+        q = jnp.pad(q, ((0, 0), (0, vecs.shape[1] - q.shape[1])))
     missing = cand_ids == INVALID_ID
     rows = slot_rows[jnp.where(missing, 0, cand_ids)]
     missing = missing | (rows < 0)

@@ -131,7 +131,12 @@ def pq_train_residual(
 
 @jax.jit
 def residuals(x: Array, coarse_centroids: Array, assignments: Array) -> Array:
-    """r = x − c[assign] (reference residuals_f32, ResidualKernel.swift:148)."""
+    """r = x − c[assign] (reference residuals_f32, ResidualKernel.swift:148).
+    Accepts lane-padded x (IVFListStore packs vectors to 128-column
+    multiples for the Pallas DMA tiling) — trailing pad columns are
+    sliced off to the centroid width."""
+    if x.shape[1] > coarse_centroids.shape[1]:
+        x = x[:, : coarse_centroids.shape[1]]
     return x - coarse_centroids[assignments]
 
 

@@ -1,0 +1,126 @@
+"""Exact rerank over an abstract vector source (the VectorReader seam).
+
+Parity target: reference ExactRerank.swift:81-96 — the rerank stage reads
+its full-precision vectors through a `VectorReader` protocol rather than a
+concrete buffer, including a callback-backed reader (ExactRerank.swift:211
+CallbackReader). That seam is what lets rerank sources live OUTSIDE index
+memory.
+
+TPU capacity tier built on it: PQ codes (+ids +corrections, ~24 B/row at
+pq16) stay in HBM; the f32 corpus (384 B/row at d=96) stays in HOST RAM.
+The ADC probe kernel selects top-C candidate CSR rows on-device, only those
+B·C rows cross PCIe per batch, and a small jitted program reranks them at
+f32-HIGHEST. Per-chip capacity is then bounded by the code arrays — ~100M
+rows/chip instead of the ~10M the f32/bf16-resident tiers top out at
+(VERDICT r2 missing #5 / docs/ROADMAP.md #2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Protocol, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vectorindex_tpu.ops.topk import INVALID_DIST, INVALID_ID, topk
+from vectorindex_tpu.utils.config import Metric
+
+Array = jax.Array
+
+
+class VectorReader(Protocol):
+    """Abstract full-precision vector source keyed by CSR row
+    (reference VectorReader, ExactRerank.swift:81-96)."""
+
+    def gather(self, rows: np.ndarray) -> np.ndarray:
+        """rows [K] i32 (CSR rows, already clipped to valid range) →
+        [K, d] f32."""
+        ...
+
+
+class ArrayReader:
+    """Host ndarray in CSR row order (row r holds the vector of CSR row r)."""
+
+    def __init__(self, vecs: np.ndarray):
+        self.vecs = np.ascontiguousarray(vecs, dtype=np.float32)
+
+    def gather(self, rows: np.ndarray) -> np.ndarray:
+        return self.vecs[rows]
+
+
+class CSRReader:
+    """Host ndarray in ORIGINAL row order + the CSR row_ids table — avoids
+    materializing a second, CSR-ordered copy of a multi-GB corpus."""
+
+    def __init__(self, vecs: np.ndarray, row_ids: np.ndarray):
+        self.vecs = vecs
+        self.row_ids = np.asarray(row_ids)
+
+    def gather(self, rows: np.ndarray) -> np.ndarray:
+        orig = self.row_ids[rows]
+        return self.vecs[np.maximum(orig, 0)].astype(np.float32, copy=False)
+
+
+class CallbackReader:
+    """Arbitrary gather callback — mmap'd files, remote storage, decoders
+    (reference CallbackReader, ExactRerank.swift:211)."""
+
+    def __init__(self, fn: Callable[[np.ndarray], np.ndarray]):
+        self.fn = fn
+
+    def gather(self, rows: np.ndarray) -> np.ndarray:
+        return np.asarray(self.fn(rows), dtype=np.float32)
+
+
+@partial(jax.jit, static_argnames=("k", "metric"))
+def rerank_gathered(
+    q: Array,  # [B, d] f32
+    xg: Array,  # [B, C, d] f32 gathered candidate vectors
+    cand_dist: Array,  # [B, C] f32 approximate dists (+inf dead)
+    iids: Array,  # [B, C] i32 internal ids (INVALID_ID dead)
+    *,
+    k: int,
+    metric: Metric,
+) -> Tuple[Array, Array]:
+    """f32-HIGHEST exact scores for the gathered candidates + strict
+    (score, id) top-k (#40 rerank contract). Dead candidates keep
+    (+inf, INVALID_ID) and sort last."""
+    b, c, d = xg.shape
+    q = q.astype(jnp.float32)
+    if q.shape[1] != d:  # lane-padded gather source: zero q columns are
+        # metric-neutral
+        q = jnp.pad(q, ((0, 0), (0, d - q.shape[1])))
+    missing = ~jnp.isfinite(cand_dist)
+    g = jnp.einsum(
+        "bd,bcd->bc", q, xg,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if metric == Metric.L2:
+        qn = jnp.sum(jnp.square(q), axis=-1)
+        sg = jnp.einsum(
+            "bcd,bcd->bc", xg, xg,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        ex = jnp.maximum(qn[:, None] + sg - 2.0 * g, 0.0)
+    elif metric == Metric.INNER_PRODUCT:
+        ex = -g
+    else:  # COSINE
+        qn = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(q), axis=-1), 1e-30))
+        xn = jnp.sqrt(jnp.maximum(jnp.einsum("bcd,bcd->bc", xg, xg), 1e-30))
+        ex = 1.0 - g / (qn[:, None] * xn)
+    ex = jnp.where(missing, INVALID_DIST, ex)
+    ii = jnp.where(missing, INVALID_ID, iids)
+    kk = min(k, c)
+    sd, si = topk(ex, kk, ids=ii, strict_ties=True)
+    if kk < k:
+        sd = jnp.concatenate(
+            [sd, jnp.full((b, k - kk), INVALID_DIST, sd.dtype)], axis=1
+        )
+        si = jnp.concatenate(
+            [si, jnp.full((b, k - kk), INVALID_ID, si.dtype)], axis=1
+        )
+    return sd, si

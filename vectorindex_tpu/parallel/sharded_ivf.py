@@ -87,7 +87,10 @@ def partition_store(
         t = int(shard_of[l])
         src0 = int(p["starts"][l])
         dst0 = t * rows_per_shard + int(cursor[t])
-        vecs[dst0 : dst0 + n] = p["vecs"][src0 : src0 + n]
+        # the store's packed host vecs are lane-padded to 128 columns for
+        # the single-chip Pallas DMA tiling; the sharded XLA path keeps
+        # logical width
+        vecs[dst0 : dst0 + n] = p["vecs"][src0 : src0 + n, :d]
         row_ids[dst0 : dst0 + n] = p["row_ids"][src0 : src0 + n]
         if scodes is not None:
             scodes[dst0 : dst0 + n] = codes_np[src0 : src0 + n]
