@@ -66,6 +66,22 @@ def emit(obj):
     print(json.dumps(obj), flush=True)
 
 
+def _cached_corpus(n: int, d: int, nlist: int, seed: int) -> np.ndarray:
+    """Clustered corpus with the generated rows persisted in the artifact
+    cache: generation is host-RNG-bound (~9M samples/s on this host — ~3
+    min at 10M x 96, ~9 min at 30M), while an uncompressed npz reload is
+    IO-bound. f32 is kept bit-exact so cached ground truth stays valid."""
+    from vectorindex_tpu.bench.cache import cached
+    from vectorindex_tpu.bench.synth import clustered_corpus
+
+    def build():
+        x, _, _ = clustered_corpus(n, d, nlist=nlist, seed=seed)
+        return {"x": x}
+
+    art, _ = cached(f"corpus_clustered_n{n}_d{d}_k{nlist}_s{seed}_v1", build)
+    return art["x"]
+
+
 def _noisy_queries(x: np.ndarray, nq: int, seed: int = 9) -> np.ndarray:
     """Held-out queries near corpus points (the ANN-bench regime: queries
     share the corpus distribution)."""
@@ -190,7 +206,7 @@ def bench_adc(iters: int = 20, n: int = 1_000_000, d: int = 128, b: int = 256):
         jax.block_until_ready(books.centroids)
         return {"centroids": np.asarray(books.centroids)}
 
-    art, was_cached = cached(f"adc_pqtrain_n{n}_d{d}_m{m_pq}_v1", build)
+    art, was_cached = cached(f"adc_pqtrain_n{n}_d{d}_m{m_pq}_v2", build)
     t_train = float(art["build_s"])
     cent = jnp.asarray(art["centroids"])
     books = pq_ops.PQCodebooks(
@@ -297,7 +313,7 @@ def bench_ivf(
             "assign": np.asarray(res.assignments),
         }
 
-    art, was_cached = cached(f"ivf_kmeans_n{n}_d{d}_dz16_s21_k{nlist}_v1", build)
+    art, was_cached = cached(f"ivf_kmeans_n{n}_d{d}_dz16_s21_k{nlist}_v2", build)
     centers, assign = art["centers"], art["assign"].astype(np.int32)
     t_kmeans = float(art["build_s"])
     # bf16 scan + f32 rerank source: half the probe DMA, and the C-row
@@ -393,8 +409,8 @@ def bench_ivfpq(
 ):
     from vectorindex_tpu.bench.cache import cached
     from vectorindex_tpu.bench.synth import (
-        clustered_corpus,
         exact_truth,
+        exact_truth_chunked,
         pack_ivf,
         pq_csr_state,
         recall_at_k,
@@ -414,29 +430,39 @@ def bench_ivfpq(
     b = 8
     m = max(400, iters)
     n_eval = 256
-    x, _, _ = clustered_corpus(n, d, nlist=nlist, seed=31)
+    x = _cached_corpus(n, d, nlist=nlist, seed=31)
     qs_eval = _noisy_queries(x, n_eval, seed=9)
 
     def build():
         # PRODUCTION routing: trained coarse quantizer (never generator
         # labels — VERDICT r2 missing #3); reference IVFIndex.swift:265-284
-        centers, assign = trained_quantizer(x, nlist, seed=42)
+        centers, assign = trained_quantizer(
+            x, nlist, seed=42, assign_chunk=65536
+        )
         arrays, order, probe_cap = pack_ivf(x, assign, nlist)
         books, codes, tcorr = pq_csr_state(
             x, assign, centers, arrays, order, m=m_pq, ks=256, iters=12
         )
-        jax.block_until_ready(codes)
-        truth = exact_truth(qs_eval, x, K)
+        codes_np = np.asarray(codes)
+        tcorr_np = np.asarray(tcorr)
+        del arrays, codes, tcorr
+        gc.collect()
+        # chunked ground truth at 10M scale: a device-resident f32 corpus
+        # (3.8 GB) on top of the build state is what OOMs 16 GB HBM
+        truth = (
+            exact_truth_chunked(qs_eval, x, K)
+            if n > 2_000_000 else exact_truth(qs_eval, x, K)
+        )
         return {
             "centers": centers,
             "assign": assign,
             "book_centroids": np.asarray(books.centroids),
-            "codes": np.asarray(codes),
-            "tcorr": np.asarray(tcorr),
+            "codes": codes_np,
+            "tcorr": tcorr_np,
             "truth": truth,
         }
 
-    art, was_cached = cached(f"{name}_n{n}_d{d}_k{nlist}_pq{m_pq}_v2", build)
+    art, was_cached = cached(f"{name}_n{n}_d{d}_k{nlist}_pq{m_pq}_v3", build)
     centers = art["centers"]
     assign = art["assign"].astype(np.int32)
     t_build = float(art["build_s"])
@@ -455,7 +481,7 @@ def bench_ivfpq(
     qpool_eval = jnp.asarray(qs_eval)
 
     sweep = []
-    for nprobe in (8, 32):
+    for nprobe in (1, 8, 32):
 
         def f(q, cent, arrays, codes, tcorr):
             sd, si = ivf_search_pq_pallas(
@@ -541,7 +567,6 @@ def bench_hostpq(
     would not — device_candidates_qps is the hardware-bound stage."""
     from vectorindex_tpu.bench.cache import cached
     from vectorindex_tpu.bench.synth import (
-        clustered_corpus,
         exact_truth_chunked,
         pack_ivf,
         pq_csr_state,
@@ -558,7 +583,7 @@ def bench_hostpq(
     from vectorindex_tpu.utils.config import Metric
 
     n_eval = 256
-    x, _, _ = clustered_corpus(n, d, nlist=4096, seed=51)
+    x = _cached_corpus(n, d, nlist=4096, seed=51)
     qs_eval = _noisy_queries(x, n_eval, seed=9)
 
     def build():
@@ -580,7 +605,7 @@ def bench_hostpq(
             "truth": truth,
         }
 
-    art, was_cached = cached(f"hostpq_n{n}_d{d}_k{nlist}_pq{m_pq}_v1", build)
+    art, was_cached = cached(f"hostpq_n{n}_d{d}_k{nlist}_pq{m_pq}_v2", build)
     centers = art["centers"]
     assign = art["assign"].astype(np.int32)
     t_build = float(art["build_s"])
@@ -685,7 +710,7 @@ def bench_hnsw(n: int = 100_000, d: int = 128, iters: int = 20):
     from vectorindex_tpu.utils.config import Metric
 
     x, W = lowdim_corpus(n, d, dz=16, seed=41)
-    key = f"hnsw_n{n}_d{d}_m16_v1"
+    key = f"hnsw_n{n}_d{d}_m16_v2"
     cpath = os.path.join(cache_dir(), key + ".vidx")
     npz_path = os.path.join(cache_dir(), key + ".npz")
     if os.path.exists(npz_path) and not os.path.exists(cpath):

@@ -51,25 +51,51 @@ def main():
     print(f"build {n}x{d}: {t_build:.0f}s  avg_deg_l0={stats.details['avg_degree_l0']:.1f}"
           f" max_level={stats.details['max_level']}", flush=True)
 
-    b = 256
-    q = lowdim_queries(W, b)
+    import jax.numpy as jnp
+
+    from vectorindex_tpu.bench.timing import time_loop
+
+    b, m = 256, 20
+    qs = lowdim_queries(W, (m + 1) * b)
+    q = qs[:b]
+    qpool = jnp.asarray(qs)
     truth = exact_truth(q, x, 10)
 
     sweep = []
     for efs in (64, 128, 256):
         idx.config = dataclasses.replace(idx.config, ef_search=efs)
+        # pipelined throughput: device M-scaling loop vs host assembly
+        # (same model as bench.py bench_hnsw)
+        fn, fargs = idx.device_search_closure(10)
+
+        def dev(qb, *fa):
+            kslot, kscore, kok = fn(qb, *fa)
+            return jnp.sum(jnp.where(kok, kscore, 0.0)), jnp.sum(kslot)
+
+        t_dev, _ = time_loop(dev, qpool, b, m, args=fargs)
+        res_dev = idx.device_search(qpool[:b], 10)
+        kslot, kscore, kok = (np.asarray(a) for a in res_dev)
+
+        def asm():
+            idx.assemble_results(kslot, kscore, kok)
+
+        t_asm = time_host(asm)
         holder = {}
 
         def run():
             holder["res"] = idx.batch_search(q, 10)
 
-        t = time_host(run)
+        t_call = time_host(run)
         found = np.full((b, 10), -1, dtype=np.int64)
         for i, row in enumerate(holder["res"]):
             for j, r in enumerate(row):
                 found[i, j] = int(r.id)
         rec = recall_at_k(found, truth)
-        point = {"ef_search": efs, "qps": round(b / t, 1),
+        point = {"ef_search": efs,
+                 "qps": round(b / max(t_dev, t_asm), 1),
+                 "ms_device": round(t_dev * 1e3, 3),
+                 "ms_assembly": round(t_asm * 1e3, 3),
+                 "ms_per_call_e2e": round(t_call * 1e3, 3),
                  "recall_at_10": round(rec, 4)}
         sweep.append(point)
         print(point, flush=True)
@@ -80,6 +106,7 @@ def main():
         "avg_degree_l0": round(stats.details["avg_degree_l0"], 2),
         "max_level": stats.details["max_level"],
         "sweep": sweep, "batch": b,
+        "throughput_model": "pipelined: b / max(ms_device, ms_assembly)",
         "device": "TPU v5 lite (1 chip)",
     }
     with open(args.out, "w") as f:

@@ -17,3 +17,18 @@ import jax  # noqa: E402
 # JAX_PLATFORMS; force CPU explicitly so the 8-device mesh is what tests see.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module. With ~40 modules
+    of accumulated XLA CPU executables in one process, the compiler
+    deterministically segfaults partway through the suite (reproduced twice
+    at the same test); per-module cache clearing keeps resident compiler
+    state bounded. Cross-module compile reuse is minimal, so the wall-clock
+    cost is small."""
+    yield
+    jax.clear_caches()

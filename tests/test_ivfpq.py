@@ -259,3 +259,39 @@ def test_incremental_encode_matches_full_rebuild():
         ra = [r.id for r in a.search(x[n + qi], k=5)]
         rb = [r.id for r in b.search(x[n + qi], k=5)]
         assert ra == rb, (qi, ra, rb)
+
+
+def test_host_rerank_tier_matches_device_tier():
+    """IVFPQConfig(host_rerank=True): vectors never reach HBM (codes-only
+    store view) yet results match the device-rerank tier on the same data,
+    and incremental inserts keep serving (meta view patches in place)."""
+    import numpy as np
+
+    from vectorindex_tpu.models.ivf import IVFPQConfig, IVFPQIndex
+    from vectorindex_tpu.utils.config import Metric
+
+    rng = np.random.default_rng(5)
+    n, d = 3000, 32
+    x = rng.standard_normal((n, d)).astype(np.float32) * 0.1
+    x[:, :4] += rng.standard_normal((n, 4)) * 2
+    cfg = dict(nlist=8, nprobe=8, m=4, ks=16, rerank=True, rerank_c=64)
+    a = IVFPQIndex(d, Metric.L2, IVFPQConfig(**cfg))
+    b = IVFPQIndex(d, Metric.L2, IVFPQConfig(**cfg, host_rerank=True))
+    for idx in (a, b):
+        idx.insert_batch(list(range(n)), x)
+        idx.optimize()
+    q = x[:6] + 0.01 * rng.standard_normal((6, d)).astype(np.float32)
+    ra = a.batch_search(q, 5)
+    rb = b.batch_search(q, 5)
+    assert [[r.id for r in row] for row in ra] == [[r.id for r in row] for row in rb]
+    for rowa, rowb in zip(ra, rb):
+        for sa, sb in zip(rowa, rowb):
+            assert abs(sa.score - sb.score) < 1e-4
+    # the host-tier store view must never hold vectors on device
+    arrays, _, _, _ = b._sync_pq()
+    assert arrays.vecs is None and arrays.sqnorms is None
+    # incremental insert: still searchable without a repack-scale resync
+    vnew = x[7] * 0.5 + 0.05
+    b.insert(n + 1, vnew)
+    res = b.batch_search(vnew[None, :], 1)
+    assert res[0][0].id == n + 1

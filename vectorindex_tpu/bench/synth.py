@@ -40,17 +40,25 @@ def clustered_corpus(
     paying a k-means run per bench invocation (bench/datagen.generate_clustered
     keeps the single-array API for callers that don't need the structure)."""
     rng = np.random.default_rng(seed)
-    centers = rng.standard_normal((nlist, d)).astype(np.float32)
+    centers = rng.standard_normal((nlist, d), dtype=np.float32)
     assign = rng.integers(0, nlist, n).astype(np.int32)
-    x = centers[assign] + spread * rng.standard_normal((n, d)).astype(np.float32)
+    # float32 end-to-end and in-place ops: float64 temps + np.add.at made
+    # 10M-row generation take ~12 min on one host core (every bench run
+    # regenerates corpora — the driver budget cannot absorb that)
+    x = rng.standard_normal((n, d), dtype=np.float32)
+    x *= spread
+    x += centers[assign]
     if normalized:
-        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
-    # member means (vectorized segment mean)
-    sums = np.zeros((nlist, d), np.float64)
-    np.add.at(sums, assign, x)
+        norms = np.sqrt(np.einsum("nd,nd->n", x, x))
+        x /= np.maximum(norms, 1e-30)[:, None]
+    # member means via per-column weighted bincount (C-speed; np.add.at is
+    # a scalar-buffered ufunc loop at this size)
     counts = np.maximum(np.bincount(assign, minlength=nlist), 1)
+    sums = np.empty((nlist, d), np.float64)
+    for j in range(d):
+        sums[:, j] = np.bincount(assign, weights=x[:, j], minlength=nlist)
     centers = (sums / counts[:, None]).astype(np.float32)
-    return x.astype(np.float32), centers, assign
+    return x, centers, assign
 
 
 def trained_quantizer(
@@ -292,11 +300,16 @@ def lowdim_corpus(
     data is maximally hard for ANY 8-byte code and reads as a broken
     benchmark). Queries: draw fresh z, map through the returned W."""
     rng = np.random.default_rng(seed)
-    W = rng.standard_normal((dz, d)).astype(np.float32) / np.sqrt(dz)
-    z = rng.standard_normal((n, dz)).astype(np.float32)
-    x = z @ W + noise * rng.standard_normal((n, d)).astype(np.float32)
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
-    return x.astype(np.float32), W
+    W = (rng.standard_normal((dz, d), dtype=np.float32) / np.sqrt(dz)).astype(
+        np.float32
+    )
+    z = rng.standard_normal((n, dz), dtype=np.float32)
+    x = rng.standard_normal((n, d), dtype=np.float32)  # f32 draws: the f64
+    x *= noise  # path costs 3-4x on single-core hosts at bench scale
+    x += z @ W
+    norms = np.sqrt(np.einsum("nd,nd->n", x, x))
+    x /= np.maximum(norms, 1e-30)[:, None]
+    return x, W
 
 
 def lowdim_queries(
@@ -304,7 +317,7 @@ def lowdim_queries(
 ) -> np.ndarray:
     rng = np.random.default_rng(seed)
     dz, d = W.shape
-    q = rng.standard_normal((nq, dz)).astype(np.float32) @ W
-    q += noise * rng.standard_normal((nq, d)).astype(np.float32)
+    q = rng.standard_normal((nq, dz), dtype=np.float32) @ W
+    q += noise * rng.standard_normal((nq, d), dtype=np.float32)
     q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
     return q.astype(np.float32)

@@ -548,6 +548,12 @@ class IVFPQConfig(IVFConfig):
     pq_iters: int = 15
     rerank: bool = True  # exact rerank of ADC candidates (#40)
     rerank_c: int = 64  # ADC candidates fed to rerank
+    # host-memory rerank tier (ops/rerank VectorReader seam, reference
+    # ExactRerank.swift:81-96): HBM holds codes + CSR metadata only
+    # (~m+8 bytes/row); the f32 vectors stay in host RAM and only the
+    # top-C winners per query cross PCIe for the exact rerank — per-chip
+    # capacity is bounded by the code arrays, not the corpus
+    host_rerank: bool = False
 
 
 class IVFPQIndex(IVFIndex):
@@ -647,6 +653,20 @@ class IVFPQIndex(IVFIndex):
             codes = pack_u4(codes)
         return codes, tcorr
 
+    def _host_reader(self):
+        """VectorReader over the store's packed HOST mirror (f32, CSR row
+        order, lane-padded) — zero-copy while the layout is stable; a
+        repack swaps the backing array and refreshes the reader. In-place
+        appends mutate the same array, so the reader stays current."""
+        from vectorindex_tpu.ops.rerank import ArrayReader
+
+        pv = self._store._packed["vecs"]
+        cache = getattr(self, "_host_reader_cache", None)
+        if cache is None or cache[0] is not pv:
+            cache = (pv, ArrayReader(pv))
+            self._host_reader_cache = cache
+        return cache[1]
+
     def _sync_pq(self):
         """Codes + slot→row table for the current packed layout.
 
@@ -656,7 +676,9 @@ class IVFPQIndex(IVFIndex):
         re-encodes O(1) rows, not the corpus (round-1 VERDICT weak #7). A
         repack (list overflow / remove / retrain) bumps layout_version and
         triggers the full rebuild."""
-        arrays = self._store.sync_device(self.storage_dtype)
+        arrays = self._store.sync_device(
+            self.storage_dtype, with_vecs=not self.config.host_rerank
+        )
         store = self._store
         cache = self._pq_cache
         if cache is not None and cache["version"] == store.version:
@@ -678,7 +700,12 @@ class IVFPQIndex(IVFIndex):
                 rows = np.asarray([r for r, _ in new], dtype=np.int32)
                 lists = jnp.asarray([l for _, l in new], dtype=jnp.int32)
                 rows_d = jnp.asarray(rows)
-                vecs_new = arrays.vecs[rows_d][:, : self.dimension].astype(jnp.float32)
+                # encode from the HOST packed mirror (f32 CSR order): valid
+                # for the codes-only view, and full precision under bf16
+                # device storage
+                vecs_new = jnp.asarray(
+                    store._packed["vecs"][rows][:, : self.dimension]
+                )
                 codes_new, tcorr_new = self._encode_rows(vecs_new, lists)
                 codes = cache["codes"].at[rows_d].set(codes_new)
                 tcorr = cache["tcorr"].at[rows_d].set(tcorr_new)
@@ -696,12 +723,12 @@ class IVFPQIndex(IVFIndex):
         # full rebuild (new layout / first sync / slot table outgrown)
         starts = np.asarray(arrays.starts)
         lengths = np.asarray(arrays.lengths)
-        n_pad = arrays.vecs.shape[0]
+        n_pad = arrays.row_ids.shape[0]
         row_list = np.zeros(n_pad, dtype=np.int32)
         for l in range(self._store.n_lists):
             row_list[starts[l] : starts[l] + lengths[l]] = l
         codes, tcorr = self._encode_rows(
-            arrays.vecs[:, : self.dimension].astype(jnp.float32),
+            jnp.asarray(store._packed["vecs"][:, : self.dimension]),
             jnp.asarray(row_list),
         )
         row_ids = np.asarray(arrays.row_ids)
@@ -736,7 +763,45 @@ class IVFPQIndex(IVFIndex):
         arrays, codes, tcorr, slot_rows = self._sync_pq()
         cap = probe_cap_for(self._store.max_length)
         nprobe = min(self.config.nprobe, self.config.nlist)
-        if _use_pallas_ivf():
+        if self.config.host_rerank and self.config.rerank:
+            # host-memory rerank tier: the ADC candidate stage never touches
+            # vectors; the f32 corpus serves the exact rerank from host RAM
+            # through the VectorReader seam (only B*C rows cross PCIe)
+            from vectorindex_tpu.ops.rerank import ArrayReader, rerank_gathered
+
+            reader = self._host_reader()
+            qd = jnp.asarray(q)
+            if _use_pallas_ivf():
+                from vectorindex_tpu.kernels.adc_probe import (
+                    ivf_search_pq_hostrerank,
+                )
+
+                dist, ids = ivf_search_pq_hostrerank(
+                    qd, jnp.asarray(self._centroids), arrays, codes, tcorr,
+                    self._books, reader, nprobe=nprobe, probe_cap=cap, k=kk,
+                    rerank_c=self.config.rerank_c, metric=self.metric,
+                    packed_u4=self.config.ks <= 16,
+                )
+            else:
+                from vectorindex_tpu.ops.ivf_pq import ivf_search_pq
+
+                c_adc = min(max(kk, self.config.rerank_c), self.count)
+                cd, cand = ivf_search_pq(
+                    qd, jnp.asarray(self._centroids), arrays, codes,
+                    self._books, nprobe=nprobe, probe_cap=cap, k=c_adc,
+                    metric=self.metric, packed_u4=self.config.ks <= 16,
+                )
+                cand_np = np.asarray(cand)
+                rows_np = np.asarray(slot_rows)[
+                    np.where(cand_np == INVALID_ID, 0, cand_np)
+                ]
+                rows_np = np.maximum(rows_np, 0)
+                g = reader.gather(rows_np.reshape(-1))
+                xg = g.reshape(q.shape[0], c_adc, g.shape[-1])
+                dist, ids = rerank_gathered(
+                    qd, jnp.asarray(xg), cd, cand, k=kk, metric=self.metric,
+                )
+        elif _use_pallas_ivf():
             # Pallas scalar-prefetch ADC kernel (kernels/adc_probe): codes
             # stream block-by-block from HBM, packed u4 unpacks in VMEM;
             # exact rerank of the ADC top-C fused into the same jit

@@ -123,6 +123,11 @@ class IVFListStore:
         self._patch_log: list[tuple[int, int, int]] = []
         # packed rows not yet patched into the device mirror
         self._dev_pending: list[int] = []
+        # codes-only (host-rerank tier) device view: CSR metadata without
+        # vecs/sqnorms ever touching HBM; separate pending list because the
+        # two views sync independently
+        self._dev_meta: Optional[IVFListArrays] = None
+        self._dev_meta_pending: list[int] = []
 
     # -- mutation --
 
@@ -143,12 +148,15 @@ class IVFListStore:
                 start = self._packed["starts"][list_id]
                 ln = self._packed["lengths"][list_id]
                 row = int(start + ln)
-                self._packed["vecs"][row] = self._lists_vecs[list_id][-1]
+                self._packed["vecs"][row, : self.dim] = (
+                    self._lists_vecs[list_id][-1]
+                )
                 self._packed["row_ids"][row] = internal_id
                 self._packed["sqnorms"][row] = float(np.dot(vec, vec))
                 self._packed["lengths"][list_id] += 1
                 self._patch_log.append((self.version, row, list_id))
                 self._dev_pending.append(row)
+                self._dev_meta_pending.append(row)
 
     def append_batch(self, list_ids, internal_ids, vecs, ts=None) -> None:
         self.version += 1
@@ -185,6 +193,7 @@ class IVFListStore:
         self._caps[:] = 0
         self._dirty = True
         self._dev = None
+        self._dev_meta = None
 
     # -- packing --
 
@@ -243,11 +252,52 @@ class IVFListStore:
         self.layout_version += 1  # rows moved — downstream caches rebuild
         self._patch_log.clear()
         self._dev_pending.clear()
+        self._dev_meta = None
+        self._dev_meta_pending.clear()
 
-    def sync_device(self, storage_dtype=jnp.float32) -> IVFListArrays:
+    def sync_device(
+        self, storage_dtype=jnp.float32, with_vecs: bool = True
+    ) -> IVFListArrays:
         if self._dirty or self._packed is None:
             self._repack()
         p = self._packed
+        if not with_vecs:
+            # codes-only view (host-memory rerank tier): CSR metadata only —
+            # the f32 vectors never leave host RAM (ops/rerank VectorReader)
+            if self._dev_meta is None:
+                self._dev_meta = IVFListArrays(
+                    vecs=None,
+                    row_ids=jnp.asarray(p["row_ids"]),
+                    sqnorms=None,
+                    starts=jnp.asarray(p["starts"]),
+                    lengths=jnp.asarray(p["lengths"]),
+                    timestamps=(
+                        None if p.get("timestamps") is None
+                        else jnp.asarray(p["timestamps"])
+                    ),
+                )
+                self._dev_meta_pending.clear()
+            elif self._dev_meta_pending:
+                rows = np.asarray(
+                    sorted(set(self._dev_meta_pending)), dtype=np.int32
+                )
+                pad = (1 << int(max(len(rows) - 1, 0)).bit_length()) - len(rows)
+                n_pad = p["row_ids"].shape[0]
+                rows_p = np.concatenate([rows, np.full(pad, n_pad, np.int32)])
+                dm = self._dev_meta
+                self._dev_meta = IVFListArrays(
+                    vecs=None,
+                    row_ids=_patch_rows(
+                        dm.row_ids, jnp.asarray(rows_p),
+                        jnp.asarray(p["row_ids"][rows_p % n_pad]),
+                    ),
+                    sqnorms=None,
+                    starts=dm.starts,
+                    lengths=jnp.asarray(p["lengths"]),
+                    timestamps=dm.timestamps,
+                )
+                self._dev_meta_pending.clear()
+            return self._dev_meta
         if self._dev is not None and self._dev.vecs.dtype != storage_dtype:
             self._dev = None  # dtype switch — full re-upload
         if self._dev is None:

@@ -95,7 +95,15 @@ def save_ivf_container(idx: "IVFIndex", path: str, journal_capacity: int = 1 << 
             c.add_array(SectionType.CENTROIDS, np.asarray(idx._centroids, dtype=np.float32))
             idx._store.sync_device()
             p = idx._store._packed
-            c.add_array(SectionType.VECS, p["vecs"].astype(np.float32))
+            # packed host vecs are lane-padded to 128 columns for the Pallas
+            # DMA tiling; the container stores logical-d rows (the load path
+            # reshapes by `dimension` and repacks, re-padding on the way in)
+            c.add_array(
+                SectionType.VECS,
+                np.ascontiguousarray(
+                    p["vecs"][:, : idx.dimension], dtype=np.float32
+                ),
+            )
             c.add_array(SectionType.IDS, p["row_ids"].astype(np.int32))
             c.add_array(
                 SectionType.LISTS_DESC,
