@@ -295,3 +295,85 @@ def test_host_rerank_tier_matches_device_tier():
     b.insert(n + 1, vnew)
     res = b.batch_search(vnew[None, :], 1)
     assert res[0][0].id == n + 1
+
+
+@pytest.mark.parametrize("metric", [Metric.INNER_PRODUCT])
+def test_host_rerank_tier_other_metrics(metric):
+    """The host tier must agree with the device tier for IP too (IVFPQIndex
+    is L2/IP-only; rerank_gathered's cosine epilogue is covered at the
+    kernel level in test_adc_probe_kernel)."""
+    rng = np.random.default_rng(11)
+    n, d = 2000, 32
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    cfg = dict(nlist=8, nprobe=8, m=4, ks=16, rerank=True, rerank_c=48)
+    a = IVFPQIndex(d, metric, IVFPQConfig(**cfg))
+    b = IVFPQIndex(d, metric, IVFPQConfig(**cfg, host_rerank=True))
+    for idx in (a, b):
+        idx.insert_batch(list(range(n)), x)
+        idx.optimize()
+    q = x[10:16]
+    ra = a.batch_search(q, 5)
+    rb = b.batch_search(q, 5)
+    assert [[r.id for r in row] for row in ra] == [
+        [r.id for r in row] for row in rb
+    ]
+
+
+def test_host_rerank_u8_codes_and_removes():
+    """ks=256 (u8 codes, no nibble packing) through the host tier, plus a
+    remove → repack: the codes-only meta view must rebuild, and removed ids
+    must never be returned."""
+    rng = np.random.default_rng(13)
+    n, d = 1500, 24
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    cfg = IVFPQConfig(
+        nlist=6, nprobe=6, m=4, ks=256, rerank=True, rerank_c=32,
+        host_rerank=True,
+    )
+    idx = IVFPQIndex(d, Metric.L2, cfg)
+    idx.insert_batch(list(range(n)), x)
+    idx.optimize()
+    hit = idx.batch_search(x[42][None, :], 1)[0][0]
+    assert hit.id == 42
+    idx.remove(42)  # repack path: meta view invalidates and rebuilds
+    res = idx.batch_search(x[42][None, :], 10)[0]
+    assert all(r.id != 42 for r in res)
+    arrays, _, _, _ = idx._sync_pq()
+    assert arrays.vecs is None  # still codes-only after the repack
+
+
+def test_host_rerank_survives_persistence(tmp_path):
+    """host_rerank is part of the capacity contract: a reloaded index must
+    stay in the codes-only tier for BOTH persistence tiers (a silent flip
+    to device-tier would pull a multi-GB corpus back into HBM)."""
+    rng = np.random.default_rng(17)
+    n, d = 800, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    cfg = IVFPQConfig(
+        nlist=4, nprobe=4, m=4, ks=16, rerank=True, rerank_c=32,
+        host_rerank=True,
+    )
+    idx = IVFPQIndex(d, Metric.L2, cfg)
+    idx.insert_batch(list(range(n)), x)
+    idx.optimize()
+
+    # JSON tier
+    p_json = str(tmp_path / "pq.json")
+    idx.save(p_json)
+    r1 = IVFPQIndex.load(p_json)
+    assert r1.config.host_rerank is True
+    arrays, _, _, _ = r1._sync_pq()
+    assert arrays.vecs is None
+    assert r1.batch_search(x[5][None, :], 1)[0][0].id == 5
+
+    # durable binary tier
+    from vectorindex_tpu.persistence.durable import (
+        load_ivf_container,
+        save_ivf_container,
+    )
+
+    p_bin = str(tmp_path / "pq.vidx")
+    save_ivf_container(idx, p_bin)
+    r2 = load_ivf_container(p_bin)
+    assert r2.config.host_rerank is True
+    assert r2.batch_search(x[5][None, :], 1)[0][0].id == 5

@@ -914,6 +914,7 @@ class IVFPQIndex(IVFIndex):
                     "pq_iters": self.config.pq_iters,
                     "rerank": self.config.rerank,
                     "rerank_c": self.config.rerank_c,
+                    "host_rerank": self.config.host_rerank,
                 },
             ),
         )
@@ -932,6 +933,7 @@ class IVFPQIndex(IVFIndex):
             pq_iters=c.get("pq_iters", 15),
             rerank=c.get("rerank", True),
             rerank_c=c.get("rerank_c", 64),
+            host_rerank=c.get("host_rerank", False),
         )
         idx = cls(snap.dimension, Metric(snap.metric), cfg)
         if snap.records:

@@ -85,7 +85,7 @@ def save_ivf_container(idx: "IVFIndex", path: str, journal_capacity: int = 1 << 
             "dsub": int(books.dsub),
         }
         cfg = idx.config
-        for k in ("m", "ks", "pq_iters", "rerank", "rerank_c"):
+        for k in ("m", "ks", "pq_iters", "rerank", "rerank_c", "host_rerank"):
             if hasattr(cfg, k):
                 meta["config"][k] = getattr(cfg, k)
 
@@ -174,6 +174,7 @@ def load_ivf_container(path: str, cls=None) -> "IVFIndex":
                 pq_iters=cfg_d.get("pq_iters", 15),
                 rerank=cfg_d.get("rerank", True),
                 rerank_c=cfg_d.get("rerank_c", 64),
+                host_rerank=cfg_d.get("host_rerank", False),
             )
         else:
             cls = IVFIndex
