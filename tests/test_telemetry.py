@@ -116,3 +116,36 @@ def test_debug_check_finite_and_invariants():
     finally:
         debug.disable()
     assert not debug.is_enabled()
+
+
+def test_ivfpq_search_records_telemetry():
+    """IVF-PQ search emits scan_adc stage stats; the host tier additionally
+    accounts its PCIe gather traffic on the 'vecs' byte stream."""
+    from vectorindex_tpu.models.ivf import IVFPQConfig, IVFPQIndex
+    from vectorindex_tpu.utils import telemetry
+    from vectorindex_tpu.utils.config import Metric
+
+    rng = np.random.default_rng(7)
+    n, d = 1200, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    idx = IVFPQIndex(
+        d, Metric.L2,
+        IVFPQConfig(nlist=4, nprobe=4, m=4, ks=16, rerank=True,
+                    rerank_c=32, host_rerank=True),
+    )
+    idx.insert_batch(list(range(n)), x)
+    idx.optimize()
+    telemetry.TELEM.reset()
+    telemetry.enable()
+    try:
+        idx.batch_search(x[:8], 5)
+        snap = telemetry.TELEM.snapshot()
+        rec = telemetry.TELEM.recent(1)[0]
+    finally:
+        telemetry.disable()
+    assert "scan_adc" in rec.stage_ms
+    assert rec.lists_routed == 8 * 4
+    assert "u4" in rec.flags and "host_rerank" in rec.flags
+    assert rec.bytes_read["codes"] > 0
+    # PCIe gather: B * rerank_c rows * d * 4 bytes on the vecs stream
+    assert snap["bytes"]["vecs"] == 8 * 32 * d * 4

@@ -435,7 +435,11 @@ def ivf_search_pq_hostrerank(
     )
     rows_np = np.asarray(rows)  # [B, c] — the only device→host transfer
     g = reader.gather(rows_np.reshape(-1))  # [B·c, d or d_pad] — a reader
-    # may serve lane-padded rows (e.g. ArrayReader over packed storage)
+    # may serve lane-padded rows (e.g. ArrayReader over packed storage);
+    # ship only the logical-d columns (pad cols are zeros — at d=96 the
+    # padded width would waste 1/3 of the PCIe transfer)
+    if g.shape[-1] > d:
+        g = np.ascontiguousarray(g[:, :d])
     xg = g.reshape(b, rows_np.shape[1], g.shape[-1])
     return rerank_gathered(
         q, jnp.asarray(xg), cd, iids, k=k, metric=metric

@@ -763,11 +763,56 @@ class IVFPQIndex(IVFIndex):
         arrays, codes, tcorr, slot_rows = self._sync_pq()
         cap = probe_cap_for(self._store.max_length)
         nprobe = min(self.config.nprobe, self.config.nlist)
+        code_bytes = self.config.m // (2 if self.config.ks <= 16 else 1)
+        stats = QueryStats(
+            batch=q.shape[0],
+            lists_routed=q.shape[0] * nprobe,
+            codes_scanned=q.shape[0] * nprobe * cap,
+            bytes_read={"codes": q.shape[0] * nprobe * cap * code_bytes},
+            flags=(
+                ({"u4"} if self.config.ks <= 16 else set())
+                | ({"host_rerank"} if self.config.host_rerank else set())
+            ),
+        )
+        with TELEM.timer("scan_adc", stats):
+            dist, ids = self._pq_dispatch(
+                q, kk, arrays, codes, tcorr, slot_rows, cap, nprobe, stats
+            )
+        TELEM.record_query(stats)
+
+        scores = self._public_score(dist)
+        out = []
+        for b in range(q.shape[0]):
+            row = []
+            for j in range(ids.shape[1]):
+                slot = int(ids[b, j])
+                if slot == INVALID_ID or not np.isfinite(dist[b, j]):
+                    break
+                meta = self._metadata.get(slot)
+                if filter is not None and not filter(meta):
+                    continue
+                row.append(
+                    SearchResult(
+                        id=self._idmap.external_for(slot),
+                        score=float(scores[b, j]),
+                        metadata=meta,
+                    )
+                )
+                if len(row) == k:
+                    break
+            out.append(row)
+        return out
+
+    def _pq_dispatch(
+        self, q, kk, arrays, codes, tcorr, slot_rows, cap, nprobe, stats
+    ):
+        """Route one query batch to the right ADC pipeline (host tier /
+        Pallas / XLA) and return device (dist, ids) materialized to numpy."""
         if self.config.host_rerank and self.config.rerank:
             # host-memory rerank tier: the ADC candidate stage never touches
             # vectors; the f32 corpus serves the exact rerank from host RAM
             # through the VectorReader seam (only B*C rows cross PCIe)
-            from vectorindex_tpu.ops.rerank import ArrayReader, rerank_gathered
+            from vectorindex_tpu.ops.rerank import rerank_gathered
 
             reader = self._host_reader()
             qd = jnp.asarray(q)
@@ -782,6 +827,13 @@ class IVFPQIndex(IVFIndex):
                     rerank_c=self.config.rerank_c, metric=self.metric,
                     packed_u4=self.config.ks <= 16,
                 )
+                # mirror the wrapper's effective C (it widens rerank_c to
+                # max(rerank_c, 4k, 128) before clamping to probed rows)
+                p_rows = nprobe * cap
+                c_eff = min(max(self.config.rerank_c, 4 * min(kk, p_rows), 128), p_rows)
+                n_gather = q.shape[0] * c_eff
+                TELEM.add_bytes("vecs", n_gather * self.dimension * 4)
+                stats.candidates_kept = n_gather
             else:
                 from vectorindex_tpu.ops.ivf_pq import ivf_search_pq
 
@@ -797,7 +849,11 @@ class IVFPQIndex(IVFIndex):
                 ]
                 rows_np = np.maximum(rows_np, 0)
                 g = reader.gather(rows_np.reshape(-1))
+                if g.shape[-1] > self.dimension:  # strip lane padding
+                    g = np.ascontiguousarray(g[:, : self.dimension])
                 xg = g.reshape(q.shape[0], c_adc, g.shape[-1])
+                TELEM.add_bytes("vecs", g.size * 4)
+                stats.candidates_kept = rows_np.size
                 dist, ids = rerank_gathered(
                     qd, jnp.asarray(xg), cd, cand, k=kk, metric=self.metric,
                 )
@@ -848,30 +904,7 @@ class IVFPQIndex(IVFIndex):
                     k=kk,
                     metric=self.metric,
                 )
-        dist, ids = np.asarray(dist), np.asarray(ids)
-
-        scores = self._public_score(dist)
-        out = []
-        for b in range(q.shape[0]):
-            row = []
-            for j in range(ids.shape[1]):
-                slot = int(ids[b, j])
-                if slot == INVALID_ID or not np.isfinite(dist[b, j]):
-                    break
-                meta = self._metadata.get(slot)
-                if filter is not None and not filter(meta):
-                    continue
-                row.append(
-                    SearchResult(
-                        id=self._idmap.external_for(slot),
-                        score=float(scores[b, j]),
-                        metadata=meta,
-                    )
-                )
-                if len(row) == k:
-                    break
-            out.append(row)
-        return out
+        return np.asarray(dist), np.asarray(ids)
 
     def statistics(self) -> IndexStats:
         st = super().statistics()
