@@ -839,7 +839,136 @@ def bench_hnsw(n: int = 100_000, d: int = 128, iters: int = 20):
 # ---------------------------------------------------------------------------
 
 
-CONFIGS = ["adc", "ivf", "ivfpq", "hnsw", "crossover10m", "hostpq30m", "flat"]
+# ---------------------------------------------------------------------------
+# churn — streaming inserts under distribution shift (HNSW's niche)
+# ---------------------------------------------------------------------------
+
+
+def bench_churn(
+    n: int = 100_000, d: int = 128, stream: int = 8192, nlist: int = 1024,
+    nprobe: int = 32,
+):
+    """HNSW vs IVF under streaming inserts whose distribution has SHIFTED
+    since build time (the workload VERDICT r2 item 4 asks HNSW to own).
+
+    The graph absorbs new content at constant per-insert cost and recall
+    holds — no global retrain step exists. IVF routes new rows through the
+    FROZEN coarse quantizer: shifted content concentrates in a few stale
+    lists, so either recall/scan-cost degrades (no retrain) or the index
+    pays a full k-means retrain (measured). Reference contract: IVF
+    requires optimize() for routing quality (IVFIndex.swift:265-284);
+    HNSW insert is incremental by construction (HNSWIndex.swift:438-516)."""
+    import dataclasses
+
+    from vectorindex_tpu.bench.cache import cache_dir, cached
+    from vectorindex_tpu.bench.synth import (
+        exact_truth,
+        lowdim_corpus,
+        recall_at_k,
+    )
+    from vectorindex_tpu.bench.timing import time_host
+    from vectorindex_tpu.models.hnsw import HNSWConfig, HNSWIndex
+    from vectorindex_tpu.models.ivf import IVFConfig, IVFIndex
+    from vectorindex_tpu.utils.config import Metric
+
+    x, W = lowdim_corpus(n, d, dz=16, seed=41)
+    dz = W.shape[0]
+    rng = np.random.default_rng(77)
+    # shifted stream: new latent mode the build-time corpus never saw
+    z = rng.standard_normal((stream, dz)).astype(np.float32)
+    z[:, :2] += 2.5
+    xnew = z @ W + 0.05 * rng.standard_normal((stream, d)).astype(np.float32)
+    xnew /= np.maximum(np.linalg.norm(xnew, axis=1, keepdims=True), 1e-30)
+    xnew = xnew.astype(np.float32)
+    n_eval = 128
+    q_new = xnew[rng.choice(stream, n_eval, replace=False)]
+    q_new = q_new + 0.02 * rng.standard_normal((n_eval, d)).astype(np.float32)
+    q_new = q_new.astype(np.float32)
+    x_all = np.concatenate([x, xnew])
+    truth_new = exact_truth(q_new, x_all, K)
+
+    def _recall(idx, b=64):
+        found = np.full((n_eval, K), -1, dtype=np.int64)
+        for s in range(0, n_eval, b):
+            for i, row in enumerate(idx.batch_search(q_new[s : s + b], K)):
+                for j, r in enumerate(row):
+                    found[s + i, j] = int(r.id)
+        return recall_at_k(found, truth_new)
+
+    # --- HNSW: shares the graph container with bench_hnsw when shapes match
+    key = f"hnsw_n{n}_d{d}_m16_v2"
+    cpath = os.path.join(cache_dir(), key + ".vidx")
+    npz_path = os.path.join(cache_dir(), key + ".npz")
+    if os.path.exists(npz_path) and not os.path.exists(cpath):
+        os.remove(npz_path)
+
+    def build():
+        idx = HNSWIndex(d, Metric.L2, HNSWConfig())
+        t0 = time.perf_counter()
+        idx.insert_batch([str(i) for i in range(n)], x)
+        idx.statistics()
+        t_build = time.perf_counter() - t0
+        idx.save_container(cpath)
+        return {"build_s": np.float64(t_build)}
+
+    _, _ = cached(key, build)
+    hnsw = HNSWIndex.load_container(cpath)
+    hnsw.config = dataclasses.replace(hnsw.config, ef_search=128)
+    ids_new = [str(n + i) for i in range(stream)]
+    t0 = time.perf_counter()
+    hnsw.insert_batch(ids_new, xnew)
+    hnsw.statistics()  # flush pending construction chunks
+    t_hnsw_ins = time.perf_counter() - t0
+    rec_hnsw = _recall(hnsw)
+    t_hnsw_q = time_host(lambda: hnsw.batch_search(q_new[:8], K))
+
+    # --- IVF: trained on the ORIGINAL corpus only (frozen quantizer)
+    ivf = IVFIndex(d, Metric.L2, IVFConfig(nlist=nlist, nprobe=nprobe))
+    ivf.insert_batch(list(range(n)), x)
+    t0 = time.perf_counter()
+    ivf.optimize()
+    t_ivf_train = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ivf.insert_batch(list(range(n, n + stream)), xnew)
+    ivf.batch_search(q_new[:1], 1)  # flush/sync
+    t_ivf_ins = time.perf_counter() - t0
+    rec_ivf_stale = _recall(ivf)
+    t_ivf_q = time_host(lambda: ivf.batch_search(q_new[:8], K))
+    # what IVF must pay to restore routing: a full retrain over all rows
+    t0 = time.perf_counter()
+    ivf.optimize()
+    t_ivf_retrain = time.perf_counter() - t0
+    rec_ivf_retrained = _recall(ivf)
+
+    ins_rate = stream / t_hnsw_ins
+    return {
+        "metric": f"churn_shifted_stream_n{n}_plus{stream}_d{d}",
+        "value": round(ins_rate, 1),
+        "unit": "inserts_per_s",
+        # reference HNSW e2e build: 300 rows / 4.53 s (BASELINE.md row 2)
+        "vs_baseline": round(ins_rate / (300.0 / 4.53), 1),
+        "hnsw": {
+            "insert_rows_per_s": round(ins_rate, 1),
+            "recall_new_at_10": round(rec_hnsw, 4),
+            "ms_search_b8_e2e": round(t_hnsw_q * 1e3, 2),
+            "retrain_required": False,
+        },
+        "ivf_stale_quantizer": {
+            "insert_rows_per_s": round(stream / t_ivf_ins, 1),
+            "recall_new_at_10": round(rec_ivf_stale, 4),
+            "ms_search_b8_e2e": round(t_ivf_q * 1e3, 2),
+            "at_nprobe": nprobe,
+        },
+        "ivf_retrained": {
+            "retrain_s": round(t_ivf_retrain, 1),
+            "initial_train_s": round(t_ivf_train, 1),
+            "recall_new_at_10": round(rec_ivf_retrained, 4),
+        },
+    }
+
+
+CONFIGS = ["adc", "ivf", "ivfpq", "hnsw", "crossover10m", "hostpq30m",
+           "churn", "flat"]
 
 
 def main(argv=None):
@@ -882,6 +1011,8 @@ def main(argv=None):
                 ))
             elif cfg == "hostpq30m":
                 emit(bench_hostpq())
+            elif cfg == "churn":
+                emit(bench_churn())
         except Exception as e:  # noqa: BLE001 — one config must not kill the rest
             emit({"metric": f"{cfg}_FAILED", "value": 0, "unit": "error",
                   "vs_baseline": 0, "error": f"{type(e).__name__}: {e}"})

@@ -117,3 +117,12 @@ def test_bench_hostpq_smoke():
     _check(out)
     assert out["hbm_bytes_per_row"] == 4 + 4 + 4
     assert "device_candidates_qps" in out and "pcie_bytes_per_batch" in out
+
+
+def test_bench_churn_smoke():
+    bench = _load_bench()
+    out = bench.bench_churn(n=3000, d=32, stream=512, nlist=16, nprobe=8)
+    _check(out)
+    assert out["hnsw"]["recall_new_at_10"] > 0.5
+    assert out["ivf_retrained"]["recall_new_at_10"] >= out[
+        "ivf_stale_quantizer"]["recall_new_at_10"] - 0.05
