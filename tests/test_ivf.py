@@ -292,3 +292,52 @@ def test_ivf_ingest_flat_precomputed_assignments():
     assert idx.search(x[90], k=1)[0].id == 90
     with pytest.raises(Exception):
         idx.ingest_flat([999], x[:1], [99])  # out-of-range list
+
+
+def test_store_meta_view_tracks_full_view_under_mutation():
+    """Randomized interleaving of appends / removes / syncs: the codes-only
+    device view (host-rerank tier) must agree with the full view's CSR
+    metadata after EVERY sync — the two views patch independently, so a
+    missed pending row or stale starts table shows up as divergence."""
+    import numpy as np
+
+    from vectorindex_tpu.ops.ivf import IVFListStore
+
+    rng = np.random.default_rng(99)
+    store = IVFListStore(n_lists=6, dim=8)
+    next_id = 0
+    live = []  # (list_id, internal_id)
+    for step in range(200):
+        op = rng.random()
+        if op < 0.62 or not live:
+            l = int(rng.integers(0, 6))
+            store.append(l, next_id, rng.standard_normal(8).astype(np.float32))
+            live.append((l, next_id))
+            next_id += 1
+        elif op < 0.75:
+            l, iid = live.pop(int(rng.integers(0, len(live))))
+            assert store.remove(l, iid)
+        if op >= 0.9 or step % 17 == 0:
+            full = store.sync_device()
+            meta = store.sync_device(with_vecs=False)
+            assert meta.vecs is None and meta.sqnorms is None
+            np.testing.assert_array_equal(
+                np.asarray(meta.row_ids), np.asarray(full.row_ids)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(meta.starts), np.asarray(full.starts)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(meta.lengths), np.asarray(full.lengths)
+            )
+    # final consistency + live-set check
+    meta = store.sync_device(with_vecs=False)
+    starts = np.asarray(meta.starts)
+    lengths = np.asarray(meta.lengths)
+    ids = np.asarray(meta.row_ids)
+    got = sorted(
+        int(i)
+        for l in range(6)
+        for i in ids[starts[l] : starts[l] + lengths[l]]
+    )
+    assert got == sorted(i for _, i in live)
