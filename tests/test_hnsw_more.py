@@ -161,3 +161,32 @@ def test_cosine_graph_space_normalized():
     res = idx.search(7.5 * x[5], 1)
     assert res[0].id == "v5"
     assert res[0].score == pytest.approx(1.0, abs=1e-5)
+
+
+def test_device_search_closure_matches_batch_search():
+    """The serving-harness closure (all device state passed as arguments,
+    jit-safe) must return exactly what the batch_search fast lane returns
+    — bench.py and the serving loop depend on this path."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    n, d = 800, 24
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    idx = HNSWIndex(d, Metric.L2, HNSWConfig(m=8, ef_construction=48,
+                                             ef_search=32, seed=7))
+    idx.insert_batch(list(range(n)), x)
+    q = x[:12] + 0.01 * rng.standard_normal((12, d)).astype(np.float32)
+    expect = idx.batch_search(q, 5)
+
+    fn, fargs = idx.device_search_closure(5)
+    kslot, kscore, kok = jax.jit(fn)(jnp.asarray(q), *fargs)
+    got = idx.assemble_results(
+        np.asarray(kslot), np.asarray(kscore), np.asarray(kok)
+    )
+    assert [[r.id for r in row] for row in got] == [
+        [r.id for r in row] for row in expect
+    ]
+    for ra, rb in zip(got, expect):
+        for a, b in zip(ra, rb):
+            assert abs(a.score - b.score) < 1e-5
