@@ -126,3 +126,23 @@ def test_bench_churn_smoke():
     assert out["hnsw"]["recall_new_at_10"] > 0.5
     assert out["ivf_retrained"]["recall_new_at_10"] >= out[
         "ivf_stale_quantizer"]["recall_new_at_10"] - 0.05
+
+
+def test_bench_budget_guard_skips_when_exhausted(monkeypatch, capsys):
+    """With a zero budget, main() must still exit cleanly: every non-flat
+    config emits a SKIPPED line and the flat headline still brackets the
+    run (provisional first, final last)."""
+    import functools
+
+    bench = _load_bench()
+    monkeypatch.setenv("VECTORINDEX_BENCH_BUDGET_S", "0")
+    bench.bench_flat = functools.partial(bench.bench_flat, n=2048, d=32, b=8)
+    bench.main(["--iters", "2"])
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    assert lines[0]["metric"].startswith("flat")
+    assert lines[0].get("provisional") is True
+    assert lines[-1]["metric"].startswith("flat")
+    assert "provisional" not in lines[-1]
+    mid = lines[1:-1]
+    assert mid and all(m["metric"].endswith("_SKIPPED") for m in mid)
