@@ -934,7 +934,12 @@ def bench_churn(
     t_ivf_ins = time.perf_counter() - t0
     rec_ivf_stale = _recall(ivf)
     t_ivf_q = time_host(lambda: ivf.batch_search(q_new[:8], K))
-    # what IVF must pay to restore routing: a full retrain over all rows
+    # middle path: warm-start refresh (a few minibatch iters from current
+    # centroids + one assignment pass) — the production repair knob
+    refresh = ivf.refresh_quantizer(iters=5)
+    rec_ivf_refresh = _recall(ivf)
+    t_ivf_q_refresh = time_host(lambda: ivf.batch_search(q_new[:8], K))
+    # what IVF must pay to FULLY restore routing: a from-scratch retrain
     t0 = time.perf_counter()
     ivf.optimize()
     t_ivf_retrain = time.perf_counter() - t0
@@ -958,6 +963,12 @@ def bench_churn(
             "recall_new_at_10": round(rec_ivf_stale, 4),
             "ms_search_b8_e2e": round(t_ivf_q * 1e3, 2),
             "at_nprobe": nprobe,
+        },
+        "ivf_refreshed": {
+            "refresh_s": round(refresh["seconds"], 1),
+            "moved_frac": round(refresh["moved_frac"], 4),
+            "recall_new_at_10": round(rec_ivf_refresh, 4),
+            "ms_search_b8_e2e": round(t_ivf_q_refresh * 1e3, 2),
         },
         "ivf_retrained": {
             "retrain_s": round(t_ivf_retrain, 1),

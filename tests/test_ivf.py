@@ -341,3 +341,59 @@ def test_store_meta_view_tracks_full_view_under_mutation():
         for i in ids[starts[l] : starts[l] + lengths[l]]
     )
     assert got == sorted(i for _, i in live)
+
+
+def test_refresh_quantizer_restores_shifted_routing():
+    """Streaming inserts from a shifted mode crowd stale lists; a warm-start
+    refresh redistributes them (moved rows > 0, max list length drops) and
+    search stays correct — without optimize()'s from-scratch retrain."""
+    import numpy as np
+
+    from vectorindex_tpu.models.ivf import IVFConfig, IVFIndex
+    from vectorindex_tpu.utils.config import Metric
+
+    rng = np.random.default_rng(21)
+    n, d = 4000, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    idx = IVFIndex(d, Metric.L2, IVFConfig(nlist=32, nprobe=8))
+    idx.insert_batch(list(range(n)), x)
+    idx.optimize()
+    # shifted stream: a mode the quantizer never saw
+    xnew = (rng.standard_normal((1000, d)) * 0.3 + 4.0).astype(np.float32)
+    idx.insert_batch(list(range(n, n + 1000)), xnew)
+    idx.batch_search(xnew[:1], 1)  # sync
+    stale_max = idx._store.max_length
+    out = idx.refresh_quantizer(iters=5)
+    assert out["moved_frac"] > 0.0
+    assert idx._store.max_length < stale_max  # crowding relieved
+    res = idx.batch_search(xnew[:16] + 0.001, 5)
+    hit = sum(1 for i, row in enumerate(res) if row and row[0].id == n + i)
+    assert hit >= 15
+    # old content still routes
+    res_old = idx.batch_search(x[:16] + 0.001, 5)
+    hit_old = sum(1 for i, row in enumerate(res_old) if row and row[0].id == i)
+    assert hit_old >= 15
+
+
+def test_refresh_quantizer_ivfpq_reencodes():
+    """IVF-PQ refresh: codes re-encode against the refreshed centroids with
+    the existing codebooks; search serves correctly afterwards."""
+    import numpy as np
+
+    from vectorindex_tpu.models.ivf import IVFPQConfig, IVFPQIndex
+    from vectorindex_tpu.utils.config import Metric
+
+    rng = np.random.default_rng(23)
+    n, d = 2000, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    idx = IVFPQIndex(d, Metric.L2, IVFPQConfig(nlist=8, nprobe=8, m=4, ks=16))
+    idx.insert_batch(list(range(n)), x)
+    idx.optimize()
+    xnew = (rng.standard_normal((400, d)) * 0.3 + 3.0).astype(np.float32)
+    idx.insert_batch(list(range(n, n + 400)), xnew)
+    idx.batch_search(xnew[:1], 1)
+    out = idx.refresh_quantizer(iters=4)
+    assert out["seconds"] >= 0.0
+    res = idx.batch_search(xnew[:8] + 0.001, 5)
+    hit = sum(1 for i, row in enumerate(res) if row and row[0].id == n + i)
+    assert hit >= 7

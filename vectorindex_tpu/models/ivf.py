@@ -320,6 +320,62 @@ class IVFIndex(VectorIndex):
         self._store.append_batch(assigns, slots, x)
         self._slot_list = {s: int(l) for s, l in zip(slots, assigns)}
 
+    def refresh_quantizer(
+        self, iters: int = 5, sample: int = 262144, chunk: int = 131072
+    ) -> dict:
+        """Warm-start quantizer adaptation after distribution shift — the
+        cheap alternative to optimize()'s from-scratch retrain (reference
+        warm-start knob: PQTrainConfig.warmStart, PQTrain.swift:20-43,
+        applied here to the coarse stage).
+
+        A few minibatch k-means iterations seeded from the CURRENT
+        centroids over a sample of live rows, then one chunked full-corpus
+        assignment pass + repack. Streaming inserts that landed in stale
+        lists (the churn workload) redistribute; rows whose nearest
+        centroid didn't move stay put. Returns {'moved_frac', 'seconds'}.
+        No-op when untrained or empty. For IVF-PQ the repack re-encodes
+        all codes against the refreshed centroids using the EXISTING
+        codebooks (encode-only cost); call optimize() when the residual
+        distribution itself has drifted enough to warrant new books."""
+        import time as _time
+
+        if not self.trained or self.count == 0:
+            return {"moved_frac": 0.0, "seconds": 0.0}
+        t0 = _time.perf_counter()
+        slots = sorted(self._vectors.keys())
+        x = np.stack([self._vectors[s] for s in slots])
+        xs = x
+        if x.shape[0] > sample:
+            rng = np.random.default_rng(self.config.seed ^ 0x5EED)
+            xs = x[rng.choice(x.shape[0], sample, replace=False)]
+        res = km.kmeans(
+            jnp.asarray(xs),
+            km.KMeansConfig(
+                k=self.config.nlist,
+                iters=iters,
+                algo="minibatch",
+                batch_size=min(65536, xs.shape[0]),
+                seed=self.config.seed,
+            ),
+            init=jnp.asarray(self._centroids),
+        )
+        self._centroids = np.asarray(res.centroids)
+        cent = jnp.asarray(self._centroids)
+        assigns = np.empty((x.shape[0],), dtype=np.int64)
+        for s in range(0, x.shape[0], chunk):
+            a, _ = km.assign_clusters(jnp.asarray(x[s : s + chunk]), cent)
+            assigns[s : s + chunk] = np.asarray(a)
+        moved = sum(
+            1 for s_, l_ in zip(slots, assigns) if self._slot_list.get(s_) != l_
+        )
+        self._store.clear()
+        self._store.append_batch(assigns, slots, x)
+        self._slot_list = {s: int(l) for s, l in zip(slots, assigns)}
+        return {
+            "moved_frac": moved / max(len(slots), 1),
+            "seconds": _time.perf_counter() - t0,
+        }
+
     # ------------------------------------------------------------------
     # search
     # ------------------------------------------------------------------
