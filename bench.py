@@ -978,17 +978,49 @@ def bench_churn(
     }
 
 
-# importance-first order: a cold run that hits the wall-clock budget keeps
-# the lines that define the project (flat headline is ALWAYS first+last)
-CONFIGS = ["ivf", "hnsw", "ivfpq", "adc", "churn", "crossover10m",
+# importance-first order: a run that hits the wall-clock budget keeps the
+# lines that define the project — flat headline is ALWAYS first+last, and
+# the 10M capacity crossover (the number round 2's timeout erased) runs
+# right after ivf
+CONFIGS = ["ivf", "crossover10m", "hnsw", "ivfpq", "adc", "churn",
            "hostpq30m", "flat"]
 
-# conservative COLD cost estimates (seconds) for the budget guard; warm
-# (cached) runs finish far under these and never trigger a skip
+# (cold, warm, cache keys) per config for the budget guard. Cold = build
+# everything from scratch; warm = all listed .benchcache artifacts exist, so
+# only corpus load + compiles + timed loops remain. Using the cold estimate
+# for a warm config would skip crossover10m/hostpq30m on every driver run —
+# the exact numbers the artifact exists to capture.
 _COST_EST = {
-    "ivf": 300, "hnsw": 480, "ivfpq": 360, "adc": 200, "churn": 240,
-    "crossover10m": 1200, "hostpq30m": 1500, "flat": 200,
+    "ivf": (300, 120, ["ivf_kmeans_n1000000_d128_dz16_s21_k1024_v2.npz"]),
+    "hnsw": (600, 240, ["hnsw_n100000_d128_m16_v2.vidx",
+                        "hnsw_n100000_d128_m16_v2.npz"]),
+    "ivfpq": (400, 150, [
+        "ivfpq_n1000000_d96_k4096_pq16_v3.npz",
+        "corpus_clustered_n1000000_d96_k4096_s31_v1.npz",
+    ]),
+    "adc": (250, 100, ["adc_pqtrain_n1000000_d128_m8_v2.npz"]),
+    "churn": (300, 240, ["hnsw_n100000_d128_m16_v2.vidx",
+                         "hnsw_n100000_d128_m16_v2.npz"]),
+    "crossover10m": (1500, 300, [
+        "ivfpq_crossover_n10000000_d96_k4096_pq16_v3.npz",
+        "corpus_clustered_n10000000_d96_k4096_s31_v1.npz",
+    ]),
+    "hostpq30m": (1800, 420, [
+        "hostpq_n30000000_d96_k8192_pq16_v2.npz",
+        "corpus_clustered_n30000000_d96_k4096_s51_v1.npz",
+    ]),
+    "flat": (200, 200, []),
 }
+
+
+def _cost_est(cfg: str) -> float:
+    from vectorindex_tpu.bench.cache import cache_dir
+
+    cold, warm, keys = _COST_EST.get(cfg, (300, 300, []))
+    cdir = cache_dir()
+    if keys and all(os.path.exists(os.path.join(cdir, k)) for k in keys):
+        return warm
+    return cold
 
 
 def main(argv=None):
@@ -1012,7 +1044,7 @@ def main(argv=None):
 
     def fits(cfg: str) -> bool:
         remaining = budget_s - (time.perf_counter() - t_start)
-        return remaining >= _COST_EST.get(cfg, 300)
+        return remaining >= _cost_est(cfg)
 
     # the headline runs FIRST (provisional line — survives any timeout) and
     # its result is re-emitted LAST (the driver parses the final line)
@@ -1030,7 +1062,7 @@ def main(argv=None):
         if args.only is None and not fits(cfg):
             emit({"metric": f"{cfg}_SKIPPED", "value": 0, "unit": "skipped",
                   "vs_baseline": 0,
-                  "reason": f"cold estimate {_COST_EST.get(cfg, 300)}s "
+                  "reason": f"estimate {_cost_est(cfg):.0f}s "
                             f"exceeds remaining budget "
                             f"({budget_s - (time.perf_counter() - t_start):.0f}s"
                             f" of {budget_s:.0f}s); run warm or --only"})
