@@ -107,3 +107,30 @@ def test_streaming_matches_minibatch_ballpark():
     cent = np.asarray(km.kmeans_stream_finalize(state))
     d = np.linalg.norm(centers[:, None, :] - cent[None, :, :], axis=-1)
     assert d.min(axis=1).max() < 0.3
+
+
+def test_assign_clusters_chunked_matches_full():
+    """The scan-chunked assigner (bounded [chunk, k] intermediate) must agree
+    with the full-matrix path on assignments and distances, including the
+    ragged tail chunk."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1000, 16)).astype(np.float32))
+    cent = jnp.asarray(rng.standard_normal((13, 16)).astype(np.float32))
+    a_full, d_full = km.assign_clusters(x, cent)
+    a_ch, d_ch = km.assign_clusters_chunked(x, cent, chunk=256)
+    np.testing.assert_array_equal(np.asarray(a_full), np.asarray(a_ch))
+    np.testing.assert_allclose(np.asarray(d_full), np.asarray(d_ch), rtol=1e-5)
+
+
+def test_parallel_seed_large_k_quality():
+    """k > 256 routes through k-means|| with bf16 chunked reductions; the
+    seeds must still cover well-separated blobs (selection-grade precision
+    is enough for D^2 sampling)."""
+    x, centers = _blobs(k=20, n_per=200, spread=0.02, seed=5)
+    seeds = km.kmeans_parallel_seed(vrng.make_key(5), x, 300, rounds=3)
+    assert seeds.shape == (300, x.shape[1])
+    d = np.linalg.norm(
+        centers[:, None, :] - np.asarray(seeds)[None, :, :], axis=-1
+    )
+    # every true blob center has a seed nearby
+    assert d.min(axis=1).max() < 0.5

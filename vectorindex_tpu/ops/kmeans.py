@@ -50,6 +50,33 @@ def assign_clusters(x: Array, centroids: Array) -> Tuple[Array, Array]:
     return assign, jnp.min(d2, axis=1)
 
 
+def assign_clusters_chunked(
+    x: Array, centroids: Array, chunk: int = 131072
+) -> Tuple[Array, Array]:
+    """assign_clusters with the [n, k] distance matrix never materialized:
+    a lax.scan over row-chunks keeps the live intermediate at [chunk, k].
+
+    At bench scale the full matrix is the build-time sink — e.g. seeding
+    pools of ~10k candidates against a 1M-row corpus would materialize
+    ~40 GB of f32 distances and push XLA into HBM spill; chunking keeps
+    the MXU busy at a bounded footprint.
+    """
+    n, d = x.shape
+    if n <= chunk:
+        return assign_clusters(x, centroids)
+    csq = scoring.squared_norms(centroids)
+    pad = (-n) % chunk
+    xp = jnp.concatenate([x, jnp.zeros((pad, d), x.dtype)]) if pad else x
+    xc = xp.reshape(-1, chunk, d)
+
+    def body(_, xs):
+        d2 = scoring.l2sqr_block(xs, centroids, x_sqnorms=csq)
+        return None, (jnp.argmin(d2, axis=1).astype(jnp.int32), jnp.min(d2, axis=1))
+
+    _, (assign, d2min) = jax.lax.scan(body, None, xc)
+    return assign.reshape(-1)[:n], d2min.reshape(-1)[:n]
+
+
 def _segment_mean(x: Array, assign: Array, k: int) -> Tuple[Array, Array]:
     """Per-cluster (sums [k,d], counts [k]) via one-hot MXU matmul."""
     onehot = jax.nn.one_hot(assign, k, dtype=x.dtype)  # [n, k]
@@ -110,16 +137,46 @@ def kmeans_parallel_seed(
     """k-means‖ (Bahmani et al.): `rounds` rounds of D²-proportional
     oversampling (l = oversample·k per round), then weighted k-means++ over
     the ≈rounds·l candidate pool. The scale path for large k that the
-    reference stubbed (KMeansSeeding.swift:35 `.kmeansParallel`)."""
+    reference stubbed (KMeansSeeding.swift:35 `.kmeansParallel`).
+
+    The corpus-wide D² reductions run chunked (live intermediate bounded at
+    ~256 MB) with a bf16 Gram — D² sampling weights and pool-attraction
+    counts are selection-grade quantities, so the bf16 relative error is
+    immaterial while the MXU runs at full rate. The final weighted k-means++
+    over the small pool stays f32."""
     n, d = x.shape
     l = oversample * k
     k0, key = jax.random.split(key)
     first = jax.random.randint(k0, (), 0, n)
+    xh = x.astype(jnp.bfloat16)
     sqn = scoring.squared_norms(x)
 
+    def _chunked(cands, reduce_fn, init):
+        """scan row-chunks of x against cands; reduce_fn(d2, slot) per chunk."""
+        csq = scoring.squared_norms(cands)
+        p = cands.shape[0]
+        chunk = min(n, max(1024, (256 << 20) // max(p * 4, 1)))
+        pad = (-n) % chunk
+        if pad:
+            xp = jnp.concatenate([xh, jnp.zeros((pad, d), xh.dtype)])
+            sp = jnp.concatenate([sqn, jnp.zeros((pad,))])
+        else:
+            xp, sp = xh, sqn
+        xc = xp.reshape(-1, chunk, d)
+        sc = sp.reshape(-1, chunk)
+        ch = cands.astype(jnp.bfloat16)
+
+        def body(_, inp):
+            xs, ss = inp
+            d2 = scoring.l2sqr_block(xs, ch, x_sqnorms=csq, q_sqnorms=ss)
+            return None, reduce_fn(d2)
+
+        _, out = jax.lax.scan(body, None, (xc, sc))
+        return out.reshape(-1)[:n]
+
     def min_d2_to(cands, min_d2):
-        d2 = scoring.l2sqr_block(x, cands)
-        return jnp.minimum(min_d2, jnp.min(d2, axis=1))
+        cmin = _chunked(cands, lambda d2: jnp.min(d2, axis=1), None)
+        return jnp.minimum(min_d2, cmin)
 
     min_d2 = min_d2_to(x[first][None, :], jnp.full((n,), jnp.inf))
 
@@ -137,8 +194,9 @@ def kmeans_parallel_seed(
     pool_idx = jnp.concatenate([first[None], cand_idxs.reshape(-1)])
     pool = x[pool_idx]  # [1 + rounds*l, d]
     # weights: how many points each candidate attracts
-    d2p = scoring.l2sqr_block(x, pool)
-    attract = jnp.argmin(d2p, axis=1)
+    attract = _chunked(
+        pool, lambda d2: jnp.argmin(d2, axis=1).astype(jnp.int32), None
+    )
     weights = jnp.zeros((pool.shape[0],)).at[attract].add(1.0)
 
     # weighted k-means++ over the small pool
@@ -177,6 +235,11 @@ class KMeansConfig:
     algo: str = "lloyd"  # "lloyd" | "minibatch"
     seed: int = 42
     stream: int = 0
+    # seeding runs on a bounded sample of the corpus (reference
+    # KMeansSeedConfig.sampleSize, KMeansSeeding.swift:40) — D² seeding
+    # quality is statistical, so a 256k sample seeds a 10M corpus as well
+    # as the full pass at a fraction of the cost
+    seed_sample: int = 262144
 
 
 class KMeansResult(NamedTuple):
@@ -218,7 +281,7 @@ def kmeans_lloyd(
     (cent, final_inertia, _, _), dones = jax.lax.scan(
         body, (init, jnp.inf, False, key), jnp.arange(iters)
     )
-    assign, d2 = assign_clusters(x, cent)
+    assign, d2 = assign_clusters_chunked(x, cent)
     return KMeansResult(cent, assign, jnp.sum(d2), jnp.sum(~dones))
 
 
@@ -250,7 +313,7 @@ def kmeans_minibatch(
     (cent, _, _), _ = jax.lax.scan(
         body, (init, jnp.zeros((k,)), key), jnp.arange(iters)
     )
-    assign, d2 = assign_clusters(x, cent)
+    assign, d2 = assign_clusters_chunked(x, cent)
     return KMeansResult(cent, assign, jnp.sum(d2), jnp.asarray(iters))
 
 
@@ -267,10 +330,17 @@ def kmeans(
         key = vrng.make_key(cfg.seed, cfg.stream)
     kseed, ktrain = jax.random.split(key)
     if init is None:
+        n = x.shape[0]
+        xs = x
+        if cfg.seed_sample and n > cfg.seed_sample:
+            ksub, kseed = jax.random.split(kseed)
+            # without-replacement sample; one permutation-free gather
+            idx = jax.random.choice(ksub, n, (cfg.seed_sample,), replace=False)
+            xs = x[idx]
         if cfg.k <= 256:
-            init = kmeans_pp_seed(kseed, x, cfg.k)
+            init = kmeans_pp_seed(kseed, xs, cfg.k)
         else:
-            init = kmeans_parallel_seed(kseed, x, cfg.k)
+            init = kmeans_parallel_seed(kseed, xs, cfg.k)
     if cfg.algo == "minibatch":
         return kmeans_minibatch(
             ktrain, x, init, k=cfg.k, iters=cfg.iters, batch_size=cfg.batch_size
