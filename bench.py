@@ -406,11 +406,14 @@ def bench_ivf(
 def bench_ivfpq(
     n: int = 1_000_000, d: int = 96, nlist: int = 4096, iters: int = 20,
     name: str = "ivfpq", with_flat: bool = False, m_pq: int = 16,
+    corpus: str = "lowdim", nprobes=(1, 8, 32),
 ):
     from vectorindex_tpu.bench.cache import cached
     from vectorindex_tpu.bench.synth import (
         exact_truth,
         exact_truth_chunked,
+        lowdim_corpus,
+        lowdim_queries,
         pack_ivf,
         pq_csr_state,
         recall_at_k,
@@ -430,8 +433,21 @@ def bench_ivfpq(
     b = 8
     m = max(400, iters)
     n_eval = 256
-    x = _cached_corpus(n, d, nlist=nlist, seed=31)
-    qs_eval = _noisy_queries(x, n_eval, seed=9)
+    if corpus == "lowdim":
+        # Deep1M-like regime: intrinsic-dim-16 manifold + held-out latent
+        # queries, so coarse routing is actually stressed and the nprobe
+        # sweep shows a real recall gradient. The clustered corpus (used by
+        # the 10M capacity config) saturates routing at nprobe>=8 because
+        # near-corpus queries land entirely inside one generator cluster.
+        x, W = lowdim_corpus(n, d, dz=16, seed=31)
+        qs_eval = lowdim_queries(W, n_eval, seed=9)
+        qpool_np = lowdim_queries(W, (m + 1) * b, seed=10)
+        key_tag = "_ld"
+    else:
+        x = _cached_corpus(n, d, nlist=nlist, seed=31)
+        qs_eval = _noisy_queries(x, n_eval, seed=9)
+        qpool_np = _noisy_queries(x, (m + 1) * b, seed=10)
+        key_tag = ""
 
     def build():
         # PRODUCTION routing: trained coarse quantizer (never generator
@@ -462,7 +478,9 @@ def bench_ivfpq(
             "truth": truth,
         }
 
-    art, was_cached = cached(f"{name}_n{n}_d{d}_k{nlist}_pq{m_pq}_v3", build)
+    art, was_cached = cached(
+        f"{name}_n{n}_d{d}_k{nlist}_pq{m_pq}{key_tag}_v3", build
+    )
     centers = art["centers"]
     assign = art["assign"].astype(np.int32)
     t_build = float(art["build_s"])
@@ -476,12 +494,11 @@ def bench_ivfpq(
     tcorr = jnp.asarray(art["tcorr"])
     cent = jnp.asarray(centers)
 
-    qs = _noisy_queries(x, (m + 1) * b, seed=10)
-    qpool = jnp.asarray(qs)
+    qpool = jnp.asarray(qpool_np)
     qpool_eval = jnp.asarray(qs_eval)
 
     sweep = []
-    for nprobe in (1, 8, 32):
+    for nprobe in nprobes:
 
         def f(q, cent, arrays, codes, tcorr):
             sd, si = ivf_search_pq_pallas(
@@ -513,6 +530,7 @@ def bench_ivfpq(
         "build_s": round(t_build, 1),
         "build_cached": was_cached,
         "routing": "trained_kmeans",
+        "corpus": corpus,
         "sweep": sweep,
         "batch": b,
     }
@@ -994,10 +1012,7 @@ _COST_EST = {
     "ivf": (300, 120, ["ivf_kmeans_n1000000_d128_dz16_s21_k1024_v2.npz"]),
     "hnsw": (600, 240, ["hnsw_n100000_d128_m16_v2.vidx",
                         "hnsw_n100000_d128_m16_v2.npz"]),
-    "ivfpq": (400, 150, [
-        "ivfpq_n1000000_d96_k4096_pq16_v3.npz",
-        "corpus_clustered_n1000000_d96_k4096_s31_v1.npz",
-    ]),
+    "ivfpq": (400, 150, ["ivfpq_n1000000_d96_k4096_pq16_ld_v3.npz"]),
     "adc": (250, 100, ["adc_pqtrain_n1000000_d128_m8_v2.npz"]),
     "churn": (300, 240, ["hnsw_n100000_d128_m16_v2.vidx",
                          "hnsw_n100000_d128_m16_v2.npz"]),
@@ -1073,13 +1088,13 @@ def main(argv=None):
             elif cfg == "ivf":
                 emit(bench_ivf(max(40, args.iters)))
             elif cfg == "ivfpq":
-                emit(bench_ivfpq(iters=args.iters))
+                emit(bench_ivfpq(iters=args.iters, nprobes=(1, 8, 32, 64)))
             elif cfg == "hnsw":
                 emit(bench_hnsw())
             elif cfg == "crossover10m":
                 emit(bench_ivfpq(
                     n=10_000_000, d=96, nlist=4096, iters=max(4, args.iters // 4),
-                    name="ivfpq_crossover", with_flat=True,
+                    name="ivfpq_crossover", with_flat=True, corpus="clustered",
                 ))
             elif cfg == "hostpq30m":
                 emit(bench_hostpq())
