@@ -377,3 +377,58 @@ def test_host_rerank_survives_persistence(tmp_path):
     r2 = load_ivf_container(p_bin)
     assert r2.config.host_rerank is True
     assert r2.batch_search(x[5][None, :], 1)[0][0].id == 5
+
+
+def test_hostrerank_pipeline_stream_matches_per_call():
+    """ivf_search_pq_hostrerank_stream (the double-buffered serving loop,
+    VERDICT r3 #7) must yield, per batch and in order, exactly what the
+    per-call ivf_search_pq_hostrerank returns for the same batch."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vectorindex_tpu.kernels.adc_probe import (
+        ivf_search_pq_hostrerank,
+        ivf_search_pq_hostrerank_stream,
+    )
+    from vectorindex_tpu.models.ivf import IVFPQConfig, IVFPQIndex
+    from vectorindex_tpu.utils.config import Metric
+
+    rng = np.random.default_rng(9)
+    n, d = 2000, 32
+    x = rng.standard_normal((n, d)).astype(np.float32) * 0.1
+    x[:, :4] += rng.standard_normal((n, 4)) * 2
+    idx = IVFPQIndex(
+        d, Metric.L2,
+        IVFPQConfig(nlist=8, nprobe=8, m=4, ks=256, rerank=True,
+                    rerank_c=64, host_rerank=True),
+    )
+    idx.insert_batch(list(range(n)), x)
+    idx.optimize()
+    arrays, codes, tcorr, _ = idx._sync_pq()
+    from vectorindex_tpu.ops.ivf import probe_cap_for
+
+    cap = probe_cap_for(idx._store.max_length)
+    reader = idx._host_reader()
+    cent = jnp.asarray(idx._centroids)
+    kw = dict(nprobe=8, probe_cap=cap, k=5, rerank_c=64,
+              metric=Metric.L2, interpret=True)
+    batches = [
+        x[rng.choice(n, 4, replace=False)]
+        + 0.01 * rng.standard_normal((4, d)).astype(np.float32)
+        for _ in range(3)
+    ]
+    got = list(
+        ivf_search_pq_hostrerank_stream(
+            batches, cent, arrays, codes, tcorr, idx._books, reader, **kw
+        )
+    )
+    assert len(got) == len(batches)
+    for qb, (sd_s, si_s) in zip(batches, got):
+        sd_p, si_p = ivf_search_pq_hostrerank(
+            jnp.asarray(qb), cent, arrays, codes, tcorr, idx._books,
+            reader, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(si_s), np.asarray(si_p))
+        np.testing.assert_allclose(
+            np.asarray(sd_s), np.asarray(sd_p), rtol=1e-6, atol=1e-6
+        )

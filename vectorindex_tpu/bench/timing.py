@@ -16,11 +16,19 @@ import jax.numpy as jnp
 
 
 def time_loop(search_outputs_fn, qpool, b: int, m: int, repeats: int = 3,
-              args=()):
+              args=(), return_samples: bool = False):
     """(seconds_per_batch, outputs): difference M=1 vs M=1+m dependent
     in-jit iterations over distinct [b, d] slices of qpool, reducing all of
     search_outputs_fn's outputs (a tuple of scalars: float first, then
     int32s).
+
+    The estimator is the MEDIAN of the per-repeat differences: tunnel noise
+    perturbs the M=1 and M=1+m calls independently, so a difference can err
+    in EITHER direction — min-of-N is biased toward inflated QPS (it once
+    produced a >2.6x-over-peak flat headline, VERDICT r3 weak #1), while
+    the median is unbiased under symmetric noise. Callers that need a
+    physical-sanity floor pass return_samples=True and apply their own
+    roofline check over the raw samples.
 
     Pass corpus-sized device buffers through `args` (forwarded as
     search_outputs_fn(q, *args)) rather than closing over them: closure-
@@ -49,19 +57,26 @@ def time_loop(search_outputs_fn, qpool, b: int, m: int, repeats: int = 3,
     many = jnp.asarray(m + 1, jnp.int32)
     jax.device_get(f(one, qpool, *args))
     jax.device_get(f(many, qpool, *args))
-    best = None
+    samples = []
     r = None
-    for _ in range(repeats):  # best-of-N: the tunnel adds ±25% noise
+    for _ in range(repeats):
         t0 = time.perf_counter()
         jax.device_get(f(one, qpool, *args))
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
         r = jax.device_get(f(many, qpool, *args))
         tm = time.perf_counter() - t0
-        per = (tm - t1) / m
-        if best is None or per < best:
-            best = per
-    return best, r
+        samples.append((tm - t1) / m)
+    est = _median(samples)
+    if return_samples:
+        return est, r, samples
+    return est, r
+
+
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
 def time_host(fn, repeats: int = 3):

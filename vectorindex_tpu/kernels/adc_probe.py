@@ -237,6 +237,10 @@ def ivf_search_pq_pallas(
     packed_u4: bool = False,
     rerank_c: int = 0,
     slot_rows: Optional[Array] = None,  # needed when rerank_c > 0
+    row_allow: Optional[Array] = None,  # [N_pad] bool allow mask in CSR row
+    #   order — masked BEFORE top-C selection (reference IDFilter.swift:104
+    #   allow/deny threading), so k results survive selective filters
+    disabled_lists: Optional[Array] = None,  # [kc] bool (IVFSelect.swift:16)
     interpret: bool = False,
 ) -> Tuple[Array, Array]:
     """IVF-PQ ADC probed search → (dist [B,k], internal ids [B,k]).
@@ -253,7 +257,7 @@ def ivf_search_pq_pallas(
     # agree or the grid would read past the prefetched (start, len) entries
     nprobe = min(nprobe, centroids.shape[0])
     sel_dist, probe_lists = ivf_select(
-        q, centroids, nprobe=nprobe, metric=metric
+        q, centroids, nprobe=nprobe, metric=metric, disabled=disabled_lists
     )
     if metric == Metric.L2:
         lut_q = pq_ops.pq_lut_q_l2(q, books)
@@ -266,6 +270,10 @@ def ivf_search_pq_pallas(
 
     start_rows = arrays.starts[probe_lists]
     live_rows = arrays.lengths[probe_lists]
+    if disabled_lists is not None:
+        # nprobe == nlist still selects disabled lists (ranked last by
+        # +inf) — zero their live length so no row of them is scanned
+        live_rows = jnp.where(jnp.isfinite(sel_dist), live_rows, 0)
     partial_d = adc_probe_scores(
         lut_q, start_rows, live_rows, codes, tcorr,
         nprobe=nprobe, probe_cap=probe_cap, m=m, ks=ks,
@@ -274,6 +282,17 @@ def ivf_search_pq_pallas(
     dist = (
         partial_d.reshape(b, nprobe, probe_cap) + base[:, :, None]
     ).reshape(b, nprobe * probe_cap)
+    if row_allow is not None:
+        # mask BEFORE top-C: dead slots are already +inf, so clipping onto
+        # row 0 only ever masks more, never leaks a denied row
+        slot_of = jnp.clip(
+            start_rows[:, :, None]
+            + jax.lax.broadcasted_iota(jnp.int32, (1, 1, probe_cap), 2),
+            0,
+            row_allow.shape[0] - 1,
+        )
+        allow = row_allow[slot_of].reshape(b, nprobe * probe_cap)
+        dist = jnp.where(allow, dist, INVALID_DIST)
 
     p = dist.shape[1]
     kk = min(k, p)
@@ -347,6 +366,8 @@ def pq_probe_candidates(
     c: int,
     metric: Metric = Metric.L2,
     packed_u4: bool = False,
+    row_allow: Optional[Array] = None,  # [N_pad] bool, CSR row order
+    disabled_lists: Optional[Array] = None,  # [kc] bool
     interpret: bool = False,
 ) -> Tuple[Array, Array, Array]:
     """ADC probe → top-C candidates only: (adc_dist [B,c] f32,
@@ -363,7 +384,7 @@ def pq_probe_candidates(
     m, ks, _ = books.centroids.shape
     nprobe = min(nprobe, centroids.shape[0])
     sel_dist, probe_lists = ivf_select(
-        q, centroids, nprobe=nprobe, metric=metric
+        q, centroids, nprobe=nprobe, metric=metric, disabled=disabled_lists
     )
     if metric == Metric.L2:
         lut_q = pq_ops.pq_lut_q_l2(q, books)
@@ -375,6 +396,10 @@ def pq_probe_candidates(
 
     start_rows = arrays.starts[probe_lists]
     live_rows = arrays.lengths[probe_lists]
+    if disabled_lists is not None:
+        # nprobe == nlist still selects disabled lists (ranked last by
+        # +inf) — zero their live length so no row of them is scanned
+        live_rows = jnp.where(jnp.isfinite(sel_dist), live_rows, 0)
     partial_d = adc_probe_scores(
         lut_q, start_rows, live_rows, codes, tcorr,
         nprobe=nprobe, probe_cap=probe_cap, m=m, ks=ks,
@@ -383,6 +408,15 @@ def pq_probe_candidates(
     dist = (
         partial_d.reshape(b, nprobe, probe_cap) + base[:, :, None]
     ).reshape(b, nprobe * probe_cap)
+    if row_allow is not None:
+        slot_of = jnp.clip(
+            start_rows[:, :, None]
+            + jax.lax.broadcasted_iota(jnp.int32, (1, 1, probe_cap), 2),
+            0,
+            row_allow.shape[0] - 1,
+        )
+        allow = row_allow[slot_of].reshape(b, nprobe * probe_cap)
+        dist = jnp.where(allow, dist, INVALID_DIST)
     cc = min(c, dist.shape[1])
     cd, cp = topk(dist, cc, strict_ties=False)
     probe_of = cp // probe_cap
@@ -411,6 +445,8 @@ def ivf_search_pq_hostrerank(
     rerank_c: int = 128,
     metric: Metric = Metric.L2,
     packed_u4: bool = False,
+    row_allow: Optional[Array] = None,
+    disabled_lists: Optional[Array] = None,
     interpret: bool = False,
 ) -> Tuple[Array, Array]:
     """IVF-PQ search with the exact-rerank source OUTSIDE device memory
@@ -431,7 +467,8 @@ def ivf_search_pq_hostrerank(
     cd, rows, iids = pq_probe_candidates(
         q, centroids, arrays, codes, tcorr, books,
         nprobe=nprobe, probe_cap=probe_cap, c=c, metric=metric,
-        packed_u4=packed_u4, interpret=interpret,
+        packed_u4=packed_u4, row_allow=row_allow,
+        disabled_lists=disabled_lists, interpret=interpret,
     )
     rows_np = np.asarray(rows)  # [B, c] — the only device→host transfer
     g = reader.gather(rows_np.reshape(-1))  # [B·c, d or d_pad] — a reader
@@ -444,3 +481,70 @@ def ivf_search_pq_hostrerank(
     return rerank_gathered(
         q, jnp.asarray(xg), cd, iids, k=k, metric=metric
     )
+
+
+def ivf_search_pq_hostrerank_stream(
+    q_batches,  # iterable of [B, d] query batches (numpy or device)
+    centroids: Array,
+    arrays,
+    codes: Array,
+    tcorr: Array,
+    books,
+    reader,
+    *,
+    nprobe: int,
+    probe_cap: int,
+    k: int,
+    rerank_c: int = 128,
+    metric: Metric = Metric.L2,
+    packed_u4: bool = False,
+    row_allow: Optional[Array] = None,
+    disabled_lists: Optional[Array] = None,
+    interpret: bool = False,
+):
+    """PIPELINED host-rerank serving (VERDICT r3 next #7): batch i+1's
+    device candidate kernel is dispatched BEFORE batch i's host gather +
+    rerank complete, so the device candidate stage, the PCIe/host gather,
+    and the device rerank overlap — steady-state throughput approaches
+    max(stage) instead of their sum. JAX async dispatch makes this a
+    one-batch lookahead: np.asarray(rows_i) blocks only on batch i while
+    batch i+1's kernel is already in the device queue, and the gather for
+    batch i runs on the host in that shadow (the reference pipelines gather
+    tiles the same way — ExactRerank.swift:21-64 gatherTile/
+    reorderBySegment). Yields (dist [B,k], ids [B,k]) per batch, in order.
+    """
+    from vectorindex_tpu.ops.rerank import rerank_gathered
+
+    def dispatch(qb):
+        qd = jnp.asarray(np.asarray(qb, dtype=np.float32))
+        b, d = qd.shape
+        p = min(nprobe, centroids.shape[0]) * probe_cap
+        kk = min(k, p)
+        c = min(max(rerank_c, 4 * kk, 128), p)
+        cd, rows, iids = pq_probe_candidates(
+            qd, centroids, arrays, codes, tcorr, books,
+            nprobe=nprobe, probe_cap=probe_cap, c=c, metric=metric,
+            packed_u4=packed_u4, row_allow=row_allow,
+            disabled_lists=disabled_lists, interpret=interpret,
+        )
+        return qd, cd, rows, iids, d
+
+    def finish(pend):
+        qd, cd, rows, iids, d = pend
+        rows_np = np.asarray(rows)  # blocks on THIS batch only
+        g = reader.gather(rows_np.reshape(-1))
+        if g.shape[-1] > d:
+            g = np.ascontiguousarray(g[:, :d])
+        xg = g.reshape(qd.shape[0], rows_np.shape[1], g.shape[-1])
+        return rerank_gathered(
+            qd, jnp.asarray(xg), cd, iids, k=k, metric=metric
+        )
+
+    pend = None
+    for qb in q_batches:
+        nxt = dispatch(qb)  # enqueued async; runs while we finish `pend`
+        if pend is not None:
+            yield finish(pend)
+        pend = nxt
+    if pend is not None:
+        yield finish(pend)

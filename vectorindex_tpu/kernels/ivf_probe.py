@@ -228,6 +228,13 @@ def ivf_search_flat_pallas(
     rerank_vecs: Optional[Array] = None,  # f32 rerank source in CSR ROW
     #   ORDER (row r holds the original vector of arrays.row_ids[r]) — for
     #   bf16 scan arrays
+    row_allow: Optional[Array] = None,  # [N_pad] bool allow mask in CSR ROW
+    #   ORDER (reference IDFilter allow/deny bitsets threaded into the scan,
+    #   IDFilter.swift:104); masking happens on the FULL probed distance
+    #   matrix BEFORE candidate selection, so k results survive arbitrarily
+    #   selective filters (a post-top-k mask silently under-returns)
+    disabled_lists: Optional[Array] = None,  # [kc] bool — reference
+    #   IVFSelectOpts.disabledLists (IVFSelect.swift:16-56)
     *,
     nprobe: int,
     probe_cap: int,
@@ -255,7 +262,9 @@ def ivf_search_flat_pallas(
     # ivf_select clamps nprobe to nlist; the kernel's scalar tables must
     # agree or the grid would read past the prefetched (start, len) entries
     nprobe = min(nprobe, centroids.shape[0])
-    _, probe_lists = ivf_select(q, centroids, nprobe=nprobe, metric=metric)
+    sel_d, probe_lists = ivf_select(
+        q, centroids, nprobe=nprobe, metric=metric, disabled=disabled_lists
+    )
     vecs, sqn = arrays.vecs, arrays.sqnorms
     pad = (-vecs.shape[0]) % BLK
     if pad:  # only possible for degenerate/tiny stores that skipped the
@@ -269,6 +278,11 @@ def ivf_search_flat_pallas(
         sqn = jnp.concatenate([sqn, jnp.zeros((pad,), sqn.dtype)])
     start_rows = arrays.starts[probe_lists]  # [B, nprobe]
     live_rows = arrays.lengths[probe_lists]
+    if disabled_lists is not None:
+        # a disabled list can still be SELECTED when nprobe spans every
+        # list (its +inf routing distance only ranks it last) — zero its
+        # live length so the kernel never reads a row of it
+        live_rows = jnp.where(jnp.isfinite(sel_d), live_rows, 0)
     p_total = nprobe * probe_cap
 
     def _pair_path():
@@ -278,13 +292,32 @@ def ivf_search_flat_pallas(
             nprobe=nprobe, probe_cap=probe_cap, metric=metric,
             interpret=interpret,
         )  # [B, nprobe·probe_cap]
+        if row_allow is not None:
+            # mask BEFORE selection: slot (p, o) maps to CSR row
+            # start_rows[b, p] + o; clipping a dead slot onto row 0 is
+            # harmless because dead slots are already +inf from the kernel
+            slot_rows = jnp.clip(
+                start_rows[:, :, None]
+                + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, 1, probe_cap), 2
+                ),
+                0,
+                row_allow.shape[0] - 1,
+            )  # [B, nprobe, probe_cap]
+            allow = row_allow[slot_rows].reshape(b, nprobe * probe_cap)
+            dist = jnp.where(allow, dist, INVALID_DIST)
         cdp, cpp = topk(dist, c, strict_ties=False)
         probe_of = cpp // probe_cap
         off = cpp % probe_cap
         rws = jnp.take_along_axis(start_rows, probe_of, axis=1) + off
         return cdp, jnp.clip(rws, 0, arrays.row_ids.shape[0] - 1)
 
-    if rank_major_fits(b, probe_cap, vecs.shape[1], vecs.dtype.itemsize) and (
+    # the rank-major in-kernel binned selection can't see a row mask (its
+    # completeness proof covers unmasked minima only) — filtered searches
+    # take the exhaustive pair path
+    if row_allow is None and rank_major_fits(
+        b, probe_cap, vecs.shape[1], vecs.dtype.itemsize
+    ) and (
         k <= 2 * CBINS
     ):
         # serving fast path: candidates are selected IN-KERNEL (binned

@@ -268,18 +268,37 @@ class FlatIndex(VectorIndex):
             return 1.0 - dist
         return dist
 
-    def _filter_valid(self, filter: Optional[FilterFn]) -> np.ndarray:
-        if filter is None:
+    def _filter_valid(
+        self,
+        filter: Optional[FilterFn],
+        allow_ids=None,
+        deny_ids=None,
+    ) -> np.ndarray:
+        from vectorindex_tpu.ops.filtering import slot_mask_np
+
+        idm = slot_mask_np(self.capacity, self._idmap, allow_ids, deny_ids)
+        if filter is None and idm is None:
             return self._valid
-        mask = self._valid.copy()
-        for slot in np.nonzero(self._valid)[0]:
-            if not filter(self._metadata[slot]):
-                mask[slot] = False
+        mask = self._valid.copy() if idm is None else (self._valid & idm)
+        if filter is not None:
+            for slot in np.nonzero(mask)[0]:
+                if not filter(self._metadata[slot]):
+                    mask[slot] = False
         return mask
 
     def batch_search(
-        self, queries, k: int, filter: Optional[FilterFn] = None
+        self,
+        queries,
+        k: int,
+        filter: Optional[FilterFn] = None,
+        *,
+        allow_ids=None,
+        deny_ids=None,
     ) -> list[list[SearchResult]]:
+        """allow_ids / deny_ids: external-id set filters fused into the scan
+        mask BEFORE top-k (reference IDFilter.swift:104 allow/deny modes
+        threaded through the kernels) — exact k results under arbitrarily
+        selective filters, never k-minus-filtered."""
         q = np.asarray(queries, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]
@@ -288,10 +307,13 @@ class FlatIndex(VectorIndex):
         if self.count == 0 or k <= 0:
             return [[] for _ in range(q.shape[0])]
         vecs, sqn, inv, _ = self._sync_device()
+        has_id_filter = allow_ids is not None or deny_ids is not None
         # valid=None fast path when every slot is live and unfiltered (the
         # [B, N] mask op costs ~1.3 ms at 256×1M by breaking matmul fusion)
-        if filter is not None:
-            valid = jnp.asarray(self._filter_valid(filter))
+        if filter is not None or has_id_filter:
+            valid = jnp.asarray(
+                self._filter_valid(filter, allow_ids, deny_ids)
+            )
         elif self._free or self._next_slot < self.capacity:
             valid = self._sync_device()[3]
         else:
@@ -316,8 +338,10 @@ class FlatIndex(VectorIndex):
                     from vectorindex_tpu.kernels.scan_fused import scan_topk_fused
 
                     x_pad, sq_pad, valid_pad = self._sync_device_fused()
-                    if filter is not None:
-                        vmask = np.asarray(self._filter_valid(filter))
+                    if filter is not None or has_id_filter:
+                        vmask = np.asarray(
+                            self._filter_valid(filter, allow_ids, deny_ids)
+                        )
                         valid_pad = jnp.asarray(
                             np.pad(vmask, (0, x_pad.shape[0] - vmask.shape[0]))
                         )
@@ -382,9 +406,18 @@ class FlatIndex(VectorIndex):
         return out
 
     def search(
-        self, query, k: int, filter: Optional[FilterFn] = None
+        self,
+        query,
+        k: int,
+        filter: Optional[FilterFn] = None,
+        *,
+        allow_ids=None,
+        deny_ids=None,
     ) -> list[SearchResult]:
-        return self.batch_search(np.asarray(query)[None, :], k, filter)[0]
+        return self.batch_search(
+            np.asarray(query)[None, :], k, filter,
+            allow_ids=allow_ids, deny_ids=deny_ids,
+        )[0]
 
     def range_search(
         self,

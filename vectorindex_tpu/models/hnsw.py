@@ -59,6 +59,7 @@ from vectorindex_tpu.utils.errors import (
     dimension_mismatch,
     duplicate_id,
 )
+from vectorindex_tpu.utils.telemetry import TELEM, QueryStats
 
 
 @dataclass(frozen=True)
@@ -1109,8 +1110,111 @@ class HNSWIndex(VectorIndex):
             out.append(row)
         return out
 
+    def _id_filtered_search(
+        self, q: np.ndarray, k: int, filter, allow_ids, deny_ids
+    ) -> list[list[SearchResult]]:
+        """ID-set filtered search (reference allow-bitset threaded through
+        traversal, HNSWTraversal.swift:25 + IDFilter.swift:104 allow/deny).
+
+        Two regimes by selectivity:
+        - small allowed set → EXACT scan over just the allowed rows (one
+          gather + BLAS block). A fixed-ef beam cannot guarantee k allowed
+          survivors under a 1%-selective filter; the dense scan is both
+          exact and cheaper than any graph walk at that size (TPU-native
+          answer to the reference's bitset-in-traversal).
+        - large allowed set → the fused beam with the allow mask ANDed into
+          the tombstone mask and ef scaled by 1/selectivity (pow2-bucketed
+          so the jit program count stays bounded), candidates masked BEFORE
+          the final top-k — k results, not k-minus-filtered.
+        """
+        from vectorindex_tpu.ops.filtering import slot_mask_np
+
+        b = q.shape[0]
+        mask = slot_mask_np(self.capacity, self._idmap, allow_ids, deny_ids)
+        allow = self._valid & mask
+        if filter is not None:
+            for slot in np.nonzero(allow)[0]:
+                if not filter(self._metadata[slot]):
+                    allow[slot] = False
+        n_allowed = int(allow.sum())
+        if n_allowed == 0:
+            return [[] for _ in range(b)]
+
+        if n_allowed <= max(4 * k, 2048):
+            slots = np.nonzero(allow)[0]
+            v = self._vectors[slots]  # [A, d] raw vectors, public metric
+            if self.metric == Metric.L2:
+                sq = np.einsum("ad,ad->a", v, v)
+                qn = np.einsum("bd,bd->b", q, q)
+                d2 = np.maximum(qn[:, None] + sq[None, :] - 2.0 * (q @ v.T), 0.0)
+                scores = np.sqrt(d2)
+                order = np.argsort(scores, axis=1, kind="stable")
+            elif self.metric == Metric.INNER_PRODUCT:
+                scores = q @ v.T
+                order = np.argsort(-scores, axis=1, kind="stable")
+            else:  # COSINE
+                vn = v / np.maximum(
+                    np.linalg.norm(v, axis=-1, keepdims=True), 1e-30
+                )
+                qn_ = q / np.maximum(
+                    np.linalg.norm(q, axis=-1, keepdims=True), 1e-30
+                )
+                scores = qn_ @ vn.T
+                order = np.argsort(-scores, axis=1, kind="stable")
+            out: list[list[SearchResult]] = []
+            for i in range(b):
+                row = []
+                for j in order[i, : min(k, len(slots))]:
+                    slot = int(slots[j])
+                    row.append(
+                        SearchResult(
+                            id=self._idmap.external_for(slot),
+                            score=float(scores[i, j]),
+                            metadata=self._metadata[slot],
+                        )
+                    )
+                out.append(row)
+            return out
+
+        # beam path: allow mask into the fused search, ef / selectivity
+        live = int(self._valid.sum())
+        sel = n_allowed / max(live, 1)
+        ef_target = max(self.config.ef_search, k, int(4 * k / max(sel, 0.02)))
+        ef_target = 1 << (min(ef_target, 4096) - 1).bit_length()
+        qg = jnp.asarray(self._to_graph_space(q, query=True))
+        if self.metric == Metric.COSINE:
+            qg = qg / jnp.maximum(
+                jnp.linalg.norm(qg, axis=-1, keepdims=True), 1e-30
+            )
+        gv, sqn = self._sync_vec_device()
+        entry = jnp.full((b,), self._entry, dtype=jnp.int32)
+        ef, iters = self._beam_params(ef_target, expand=4)
+        nbrs0, lookup0 = self._sync_layer_device(0)
+        hi = tuple(
+            self._sync_layer_device(l)
+            for l in range(len(self._layers) - 1, 0, -1)
+        )
+        steps = tuple(
+            self._descent_steps(l)
+            for l in range(len(self._layers) - 1, 0, -1)
+        )
+        kslot, kscore, kok = _fused_search(
+            qg.astype(jnp.float32), gv, sqn, jnp.asarray(allow), entry,
+            hi, nbrs0, lookup0, steps=steps, ef=ef, iters=iters, expand=4,
+            k=k, metric=self.metric,
+        )
+        return self.assemble_results(
+            np.asarray(kslot), np.asarray(kscore), np.asarray(kok)
+        )
+
     def batch_search(
-        self, queries, k: int, filter: Optional[FilterFn] = None
+        self,
+        queries,
+        k: int,
+        filter: Optional[FilterFn] = None,
+        *,
+        allow_ids=None,
+        deny_ids=None,
     ) -> list[list[SearchResult]]:
         q = np.asarray(queries, dtype=np.float32)
         if q.ndim == 1:
@@ -1122,6 +1226,8 @@ class HNSWIndex(VectorIndex):
         self._ensure_built()
         if self._entry < 0 or not self._valid[self._entry :self._entry + 1].size:
             return [[] for _ in range(q.shape[0])]
+        if allow_ids is not None or deny_ids is not None:
+            return self._id_filtered_search(q, k, filter, allow_ids, deny_ids)
 
         qg = jnp.asarray(self._to_graph_space(q, query=True))
         gv, sqn = self._sync_vec_device()
@@ -1137,10 +1243,34 @@ class HNSWIndex(VectorIndex):
             # fast lane: the whole search is ONE device dispatch and only
             # [B, k] scalars cross back (tunnel round-trips + host rescore
             # dominated batch latency — VERDICT r2 weak #4)
-            kslot, kscore, kok = self.device_search(qg, k)
-            return self.assemble_results(
-                np.asarray(kslot), np.asarray(kscore), np.asarray(kok)
+            ef_t, iters_t = self._beam_params(
+                max(self.config.ef_search, k), expand=4
             )
+            deg0 = self._layers[0].max_degree
+            stats = QueryStats(
+                batch=b,
+                # beam expansions × fixed degree: the graph-side analog of
+                # rows_scored (reference HNSWTelemetryRecorder hop/score
+                # counters, HNSWTraversal.swift:12-23)
+                rows_scored=b * iters_t * 4 * deg0,
+                candidates_emitted=b * ef_t,
+            )
+            with TELEM.timer("traverse", stats):
+                kslot, kscore, kok = self.device_search(qg, k)
+                kslot, kscore, kok = (
+                    np.asarray(kslot), np.asarray(kscore), np.asarray(kok),
+                )
+            stats.candidates_kept = int(kok.sum())
+            gvecs_bytes = (
+                b * iters_t * 4 * deg0 * self.dimension
+                * self._graph_vecs.itemsize
+            )
+            stats.bytes_read["vecs"] = gvecs_bytes
+            TELEM.add_bytes("vecs", gvecs_bytes)
+            with TELEM.timer("merge", stats):
+                out = self.assemble_results(kslot, kscore, kok)
+            TELEM.record_query(stats)
+            return out
 
         for l in range(len(self._layers) - 1, 0, -1):
             nbrs, lookup = self._sync_layer_device(l)
@@ -1193,8 +1323,19 @@ class HNSWIndex(VectorIndex):
             out.append(row)
         return out
 
-    def search(self, query, k: int, filter: Optional[FilterFn] = None):
-        return self.batch_search(np.asarray(query)[None, :], k, filter)[0]
+    def search(
+        self,
+        query,
+        k: int,
+        filter: Optional[FilterFn] = None,
+        *,
+        allow_ids=None,
+        deny_ids=None,
+    ):
+        return self.batch_search(
+            np.asarray(query)[None, :], k, filter,
+            allow_ids=allow_ids, deny_ids=deny_ids,
+        )[0]
 
     # ------------------------------------------------------------------
     # maintenance / stats / persistence

@@ -387,9 +387,39 @@ class IVFIndex(VectorIndex):
             return -dist
         return 1.0 - dist
 
+    def _row_allow_mask(self, allow_ids, deny_ids):
+        """[N_pad] bool allow mask in CSR row order from external-id sets
+        (None when no id filter requested). Consumed by the probe paths
+        BEFORE candidate selection — reference IDFilter allow/deny bitsets
+        threaded through the scan (IDFilter.swift:104)."""
+        from vectorindex_tpu.ops.filtering import slot_mask_np
+
+        smask = slot_mask_np(
+            max(self._next_slot, 1), self._idmap, allow_ids, deny_ids
+        )
+        if smask is None:
+            return None
+        self._store.sync_device(self.storage_dtype)  # ensure packed layout
+        rid = self._store._packed["row_ids"]
+        ra = np.zeros(rid.shape[0], dtype=bool)
+        live = rid >= 0
+        ra[live] = smask[rid[live]]
+        return jnp.asarray(ra)
+
     def batch_search(
-        self, queries, k: int, filter: Optional[FilterFn] = None
+        self,
+        queries,
+        k: int,
+        filter: Optional[FilterFn] = None,
+        *,
+        allow_ids=None,
+        deny_ids=None,
+        disabled_lists=None,
     ) -> list[list[SearchResult]]:
+        """allow_ids / deny_ids: external-id sets masked into the probed
+        distances BEFORE top-k (k results survive selective filters).
+        disabled_lists: iterable of list ids excluded from coarse routing
+        (reference IVFSelectOpts.disabledLists, IVFSelect.swift:16-56)."""
         q = np.asarray(queries, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]
@@ -401,26 +431,44 @@ class IVFIndex(VectorIndex):
         # oversample when a host-side metadata filter will drop hits
         kk = min(k if filter is None else max(4 * k, k + 32), self.count)
 
+        disabled = None
+        if disabled_lists is not None:
+            dm = np.zeros((self.config.nlist,), dtype=bool)
+            dm[np.asarray(list(disabled_lists), dtype=np.int64)] = True
+            disabled = jnp.asarray(dm)
+
         if not self.trained:
             # untrained: exact scan over all records (the reference's naive
             # path unions everything when centroids are absent)
+            from vectorindex_tpu.ops.filtering import slot_mask_np
+
             slots = sorted(self._vectors.keys())
             x = np.stack([self._vectors[s] for s in slots])
+            vmask = np.ones((len(slots),), bool)
+            smask = slot_mask_np(
+                max(self._next_slot, 1), self._idmap, allow_ids, deny_ids
+            )
+            if smask is not None:
+                vmask = smask[np.asarray(slots, dtype=np.int64)]
             dist, idx = scan_topk_strict(
                 jnp.asarray(q),
                 jnp.asarray(x),
                 None,
                 None,
-                jnp.ones((len(slots),), bool),
+                jnp.asarray(vmask),
                 metric=self.metric,
                 k=min(kk, len(slots)),
             )
-            ids = np.asarray([[slots[j] for j in row] for row in np.asarray(idx)])
+            idx = np.asarray(idx)
+            slots_arr = np.asarray(slots, dtype=np.int64)
+            ok = (idx != INVALID_ID) & (idx >= 0) & (idx < len(slots))
+            ids = np.where(ok, slots_arr[np.where(ok, idx, 0)], INVALID_ID)
             dist = np.asarray(dist)
         else:
             arrays = self._store.sync_device(self.storage_dtype)
             cap = probe_cap_for(self._store.max_length)
             nprobe = min(self.config.nprobe, self.config.nlist)
+            row_allow = self._row_allow_mask(allow_ids, deny_ids)
             stats = QueryStats(
                 batch=q.shape[0],
                 lists_routed=q.shape[0] * nprobe,
@@ -439,6 +487,8 @@ class IVFIndex(VectorIndex):
                         jnp.asarray(self._centroids),
                         arrays,
                         rerank_src,
+                        row_allow,
+                        disabled,
                         nprobe=nprobe,
                         probe_cap=cap,
                         k=min(kk, max(self.count, 1)),
@@ -453,6 +503,8 @@ class IVFIndex(VectorIndex):
                         probe_cap=cap,
                         k=min(kk, max(self.count, 1)),
                         metric=self.metric,
+                        row_allow=row_allow,
+                        disabled_lists=disabled,
                     )
                 dist, ids = np.asarray(dist), np.asarray(ids)
             TELEM.record_query(stats)
@@ -480,8 +532,21 @@ class IVFIndex(VectorIndex):
             out.append(row)
         return out
 
-    def search(self, query, k: int, filter: Optional[FilterFn] = None):
-        return self.batch_search(np.asarray(query)[None, :], k, filter)[0]
+    def search(
+        self,
+        query,
+        k: int,
+        filter: Optional[FilterFn] = None,
+        *,
+        allow_ids=None,
+        deny_ids=None,
+        disabled_lists=None,
+    ):
+        return self.batch_search(
+            np.asarray(query)[None, :], k, filter,
+            allow_ids=allow_ids, deny_ids=deny_ids,
+            disabled_lists=disabled_lists,
+        )[0]
 
     # ------------------------------------------------------------------
 
@@ -804,7 +869,16 @@ class IVFPQIndex(IVFIndex):
         }
         return arrays, codes, tcorr, slot_rows_dev
 
-    def batch_search(self, queries, k, filter=None):
+    def batch_search(
+        self,
+        queries,
+        k,
+        filter=None,
+        *,
+        allow_ids=None,
+        deny_ids=None,
+        disabled_lists=None,
+    ):
         q = np.asarray(queries, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]
@@ -813,12 +887,22 @@ class IVFPQIndex(IVFIndex):
         if self.count == 0 or k <= 0:
             return [[] for _ in range(q.shape[0])]
         if not (self.trained and self.pq_trained):
-            return super().batch_search(queries, k, filter)
+            return super().batch_search(
+                queries, k, filter,
+                allow_ids=allow_ids, deny_ids=deny_ids,
+                disabled_lists=disabled_lists,
+            )
 
         kk = min(k if filter is None else max(4 * k, k + 32), self.count)
         arrays, codes, tcorr, slot_rows = self._sync_pq()
         cap = probe_cap_for(self._store.max_length)
         nprobe = min(self.config.nprobe, self.config.nlist)
+        row_allow = self._row_allow_mask(allow_ids, deny_ids)
+        disabled = None
+        if disabled_lists is not None:
+            dmk = np.zeros((self.config.nlist,), dtype=bool)
+            dmk[np.asarray(list(disabled_lists), dtype=np.int64)] = True
+            disabled = jnp.asarray(dmk)
         code_bytes = self.config.m // (2 if self.config.ks <= 16 else 1)
         stats = QueryStats(
             batch=q.shape[0],
@@ -832,7 +916,8 @@ class IVFPQIndex(IVFIndex):
         )
         with TELEM.timer("scan_adc", stats):
             dist, ids = self._pq_dispatch(
-                q, kk, arrays, codes, tcorr, slot_rows, cap, nprobe, stats
+                q, kk, arrays, codes, tcorr, slot_rows, cap, nprobe, stats,
+                row_allow=row_allow, disabled=disabled,
             )
         TELEM.record_query(stats)
 
@@ -860,7 +945,8 @@ class IVFPQIndex(IVFIndex):
         return out
 
     def _pq_dispatch(
-        self, q, kk, arrays, codes, tcorr, slot_rows, cap, nprobe, stats
+        self, q, kk, arrays, codes, tcorr, slot_rows, cap, nprobe, stats,
+        row_allow=None, disabled=None,
     ):
         """Route one query batch to the right ADC pipeline (host tier /
         Pallas / XLA) and return device (dist, ids) materialized to numpy."""
@@ -882,6 +968,7 @@ class IVFPQIndex(IVFIndex):
                     self._books, reader, nprobe=nprobe, probe_cap=cap, k=kk,
                     rerank_c=self.config.rerank_c, metric=self.metric,
                     packed_u4=self.config.ks <= 16,
+                    row_allow=row_allow, disabled_lists=disabled,
                 )
                 # mirror the wrapper's effective C (it widens rerank_c to
                 # max(rerank_c, 4k, 128) before clamping to probed rows)
@@ -898,6 +985,7 @@ class IVFPQIndex(IVFIndex):
                     qd, jnp.asarray(self._centroids), arrays, codes,
                     self._books, nprobe=nprobe, probe_cap=cap, k=c_adc,
                     metric=self.metric, packed_u4=self.config.ks <= 16,
+                    row_allow=row_allow, disabled_lists=disabled,
                 )
                 cand_np = np.asarray(cand)
                 rows_np = np.asarray(slot_rows)[
@@ -932,6 +1020,8 @@ class IVFPQIndex(IVFIndex):
                 metric=self.metric,
                 packed_u4=self.config.ks <= 16,
                 rerank_c=(self.config.rerank_c if self.config.rerank else 0),
+                row_allow=row_allow,
+                disabled_lists=disabled,
             )
         else:
             from vectorindex_tpu.ops.ivf_pq import ivf_search_pq, rerank_rows
@@ -949,6 +1039,8 @@ class IVFPQIndex(IVFIndex):
                 k=c_adc,
                 metric=self.metric,
                 packed_u4=self.config.ks <= 16,
+                row_allow=row_allow,
+                disabled_lists=disabled,
             )
             if self.config.rerank:
                 dist, ids = rerank_rows(

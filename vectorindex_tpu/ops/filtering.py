@@ -115,6 +115,33 @@ class IDFilterOverlay:
         return member if self.mode == FilterMode.ALLOW else ~member
 
 
+def slot_mask_np(
+    n: int,
+    idmap,
+    allow_ids=None,
+    deny_ids=None,
+) -> Optional[np.ndarray]:
+    """Host-side allow mask [n] over internal slots from EXTERNAL id sets
+    (the form index search paths consume; reference FilterMode allow/deny,
+    IDFilter.swift:104). Unknown external ids are ignored — an allow set
+    entry that was never inserted simply matches nothing. Returns None when
+    no filter was requested (the unfiltered fast path stays mask-free)."""
+    if allow_ids is None and deny_ids is None:
+        return None
+    mask = np.ones(n, dtype=bool)
+    if allow_ids is not None:
+        allow = np.zeros(n, dtype=bool)
+        for ext in allow_ids:
+            if ext in idmap:
+                allow[idmap.lookup(ext)] = True
+        mask &= allow
+    if deny_ids is not None:
+        for ext in deny_ids:
+            if ext in idmap:
+                mask[idmap.lookup(ext)] = False
+    return mask
+
+
 def filter_mask(
     n: int,
     allow_ids=None,

@@ -392,6 +392,9 @@ def ivf_search_flat(
     k: int,
     metric: Metric = Metric.L2,
     query_chunk: int = 16,
+    row_allow: Optional[Array] = None,  # [N_pad] bool, CSR row order —
+    #   masked into the probed distances BEFORE top-k (IDFilter.swift:104)
+    disabled_lists: Optional[Array] = None,  # [kc] bool (IVFSelect.swift:16)
 ) -> Tuple[Array, Array]:
     """IVF-Flat probed search → (dist [B,k], internal ids [B,k]).
 
@@ -403,21 +406,29 @@ def ivf_search_flat(
     gather since rows carry their ids.
     """
     b = q.shape[0]
-    _, probe_lists = ivf_select(q, centroids, nprobe=nprobe, metric=metric)
+    sel_d, probe_lists = ivf_select(
+        q, centroids, nprobe=nprobe, metric=metric, disabled=disabled_lists
+    )
+    sel_live = (
+        jnp.isfinite(sel_d) if disabled_lists is not None else None
+    )  # [B, nprobe]: disabled lists rank last but CAN be selected when
+    #    nprobe spans all lists — their rows must not be scanned
     dstore = arrays.vecs.shape[1]
     if q.shape[1] != dstore:  # lane-padded storage: pad q to match (zeros
         # contribute nothing to any metric)
         q = jnp.pad(q, ((0, 0), (0, dstore - q.shape[1])))
 
     def chunk_fn(qc_and_pl):
-        qc, pl = qc_and_pl  # [C, d], [C, nprobe]
+        qc, pl, plive = qc_and_pl  # [C, d], [C, nprobe], [C, nprobe]
         starts = arrays.starts[pl]  # [C, nprobe]
-        lens = arrays.lengths[pl]
+        lens = jnp.where(plive, arrays.lengths[pl], 0)
         # candidate row indices: [C, nprobe, probe_cap]
         offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, probe_cap), 2)
         rows = starts[:, :, None] + offs
         valid = offs < lens[:, :, None]
         rows = jnp.where(valid, rows, 0)
+        if row_allow is not None:
+            valid = valid & row_allow[rows]
         cand = rows.reshape(qc.shape[0], nprobe * probe_cap)
         vmask = valid.reshape(qc.shape[0], nprobe * probe_cap)
         xg = arrays.vecs[cand]  # [C, P, d] — storage dtype (bf16 fast path)
@@ -451,9 +462,16 @@ def ivf_search_flat(
         probe_lists = jnp.concatenate(
             [probe_lists, jnp.zeros((pad, nprobe), probe_lists.dtype)]
         )
+    if sel_live is None:
+        sel_live = jnp.ones(probe_lists.shape, bool)
+    elif pad:
+        sel_live = jnp.concatenate(
+            [sel_live, jnp.zeros((pad, nprobe), bool)]
+        )
     qs = q.reshape(-1, c, q.shape[1])
     pls = probe_lists.reshape(-1, c, nprobe)
-    dists, ids = jax.lax.map(chunk_fn, (qs, pls))
+    plv = sel_live.reshape(-1, c, nprobe)
+    dists, ids = jax.lax.map(chunk_fn, (qs, pls, plv))
     dists = dists.reshape(-1, k)[:b]
     ids = ids.reshape(-1, k)[:b]
     return dists, ids

@@ -17,7 +17,7 @@ vectors (kept in the same CSR layout).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +48,9 @@ def ivf_search_pq(
     metric: Metric = Metric.L2,
     query_chunk: int = 8,
     packed_u4: bool = False,
+    row_allow: Optional[Array] = None,  # [N_pad] bool, CSR row order —
+    #   masked into vmask BEFORE top-k (IDFilter.swift:104 allow/deny)
+    disabled_lists: Optional[Array] = None,  # [kc] bool (IVFSelect.swift:16)
 ) -> Tuple[Array, Array]:
     """ADC search over probed lists → (adc_dist [B,k], internal ids [B,k]).
 
@@ -62,12 +65,15 @@ def ivf_search_pq(
         from vectorindex_tpu.ops.dtypes import unpack_u4
 
         codes = unpack_u4(codes)
-    _, probe_lists = ivf_select(q, centroids, nprobe=nprobe, metric=metric)
+    sel_d, probe_lists = ivf_select(
+        q, centroids, nprobe=nprobe, metric=metric, disabled=disabled_lists
+    )
+    sel_live = jnp.isfinite(sel_d) if disabled_lists is not None else None
 
     offsets = (jnp.arange(m, dtype=jnp.int32) * ks)[None, :]  # [1, m]
 
     def chunk_fn(args):
-        qc, pl = args  # [C, d], [C, nprobe]
+        qc, pl, plive = args  # [C, d], [C, nprobe], [C, nprobe]
         c = qc.shape[0]
         if metric == Metric.L2:
             lut = pq_ops.pq_lut_residual_l2(qc, centroids, pl, books)
@@ -81,10 +87,12 @@ def ivf_search_pq(
         lut_flat = lut.reshape(c, pl.shape[1], m * ks)
 
         starts = arrays.starts[pl]  # [C, P]
-        lens = arrays.lengths[pl]
+        lens = jnp.where(plive, arrays.lengths[pl], 0)
         offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, probe_cap), 2)
         rows = jnp.where(offs < lens[:, :, None], starts[:, :, None] + offs, 0)
         vmask = (offs < lens[:, :, None])  # [C, P, cap]
+        if row_allow is not None:
+            vmask = vmask & row_allow[rows]
         code_rows = codes[rows]  # [C, P, cap, m] u8
         flat_idx = code_rows.astype(jnp.int32) + offsets[None, None]  # [C,P,cap,m]
 
@@ -113,9 +121,16 @@ def ivf_search_pq(
         probe_lists = jnp.concatenate(
             [probe_lists, jnp.zeros((pad, probe_lists.shape[1]), probe_lists.dtype)]
         )
+    if sel_live is None:
+        sel_live = jnp.ones(probe_lists.shape, bool)
+    elif pad:
+        sel_live = jnp.concatenate(
+            [sel_live, jnp.zeros((pad, sel_live.shape[1]), bool)]
+        )
     qs = q.reshape(-1, cq, q.shape[1])
     pls = probe_lists.reshape(-1, cq, probe_lists.shape[1])
-    dists, ids = jax.lax.map(chunk_fn, (qs, pls))
+    plv = sel_live.reshape(-1, cq, sel_live.shape[1])
+    dists, ids = jax.lax.map(chunk_fn, (qs, pls, plv))
     return dists.reshape(-1, k)[:b], ids.reshape(-1, k)[:b]
 
 
