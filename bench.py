@@ -49,6 +49,11 @@ import json
 import os
 import time
 
+# NOTE: do NOT enable jax_compilation_cache_dir here — the persistent cache
+# HANGS on reload under the axon tunnel (verify SKILL.md gotcha). Remote
+# compiles are already cached server-side by HLO fingerprint across
+# processes, so keeping programs/shapes stable is what makes warm runs fast.
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -168,8 +173,10 @@ def bench_flat(iters: int = 20, n: int = 1_000_000, d: int = 128, b: int = 256):
 
     # sub-ms per-batch work: the M-difference needs hundreds of in-jit
     # iterations (~0.4 s of signal) or tunnel noise (±25% of a ~100 ms
-    # call) swamps it — same fix IVF got in round 3 (VERDICT r3 next #1)
-    m = max(400, iters)
+    # call) swamps it — same fix IVF got in round 3 (VERDICT r3 next #1).
+    # CPU smoke runs keep the caller's iters: interpret-mode Pallas at
+    # m=400 turns a 2 s test into >10 min, and there is no tunnel to beat.
+    m = iters if _interp() else max(400, iters)
     key = jax.random.key(1234)
     x = jax.random.normal(key, (n, d), dtype=jnp.bfloat16)
     sqn = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1)
@@ -232,7 +239,7 @@ def bench_flat(iters: int = 20, n: int = 1_000_000, d: int = 128, b: int = 256):
     from vectorindex_tpu.models.flat import FlatIndex
     from vectorindex_tpu.utils.config import Metric as _M
 
-    n_t = 1 << 17  # smallest fused-path corpus: telemetry shape, not perf
+    n_t = min(1 << 17, n)  # smallest fused-path corpus: telemetry shape, not perf
     fidx = FlatIndex(d, _M.L2, capacity=n_t, storage_dtype=jnp.bfloat16)
     fidx.insert_batch(
         list(range(n_t)), np.asarray(x[:n_t], dtype=np.float32)
@@ -450,8 +457,8 @@ def bench_ivf(
 
     # sub-ms per-batch work at B=8: the M-difference method needs many
     # hundreds of in-jit iterations or tunnel noise (±25% of the ~50 ms call
-    # overhead) swamps the signal
-    m = max(400, iters)
+    # overhead) swamps the signal (CPU smoke runs keep the caller's iters)
+    m = iters if _interp() else max(400, iters)
     # SIFT-like intrinsic-dim-16 corpus + a REAL k-means quantizer (the
     # production path; a generator-aligned quantizer makes nprobe=1 recall
     # 1.0 and the sweep meaningless)
@@ -612,6 +619,8 @@ def bench_ivfpq(
     n: int = 1_000_000, d: int = 96, nlist: int = 4096, iters: int = 20,
     name: str = "ivfpq", with_flat: bool = False, m_pq: int = 16,
     corpus: str = "lowdim", nprobes=(1, 8, 32), rerank_c: int = 512,
+    spill_eps: float | None = None, spill_nprobes=(8, 16, 32),
+    u4: bool = False,
 ):
     from vectorindex_tpu.bench.cache import cached
     from vectorindex_tpu.bench.synth import (
@@ -636,7 +645,7 @@ def bench_ivfpq(
     # corpus that still fits HBM. PQ's wins on TPU are capacity (20x rows
     # per chip) and small-batch serving latency — measure the latter.
     b = 8
-    m = max(400, iters)
+    m = iters if _interp() else max(400, iters)
     n_eval = 256
     if corpus == "lowdim":
         # Deep1M-like regime: intrinsic-dim-16 manifold + held-out latent
@@ -662,7 +671,8 @@ def bench_ivfpq(
         )
         arrays, order, probe_cap = pack_ivf(x, assign, nlist)
         books, codes, tcorr = pq_csr_state(
-            x, assign, centers, arrays, order, m=m_pq, ks=256, iters=12
+            x, assign, centers, arrays, order, m=m_pq, ks=256, u4=u4,
+            iters=12,
         )
         codes_np = np.asarray(codes)
         tcorr_np = np.asarray(tcorr)
@@ -684,7 +694,8 @@ def bench_ivfpq(
         }
 
     art, was_cached = cached(
-        f"{name}_n{n}_d{d}_k{nlist}_pq{m_pq}{key_tag}_v3", build
+        f"{name}_n{n}_d{d}_k{nlist}_pq{m_pq}{'x4' if u4 else ''}{key_tag}_v3",
+        build,
     )
     centers = art["centers"]
     assign = art["assign"].astype(np.int32)
@@ -709,7 +720,8 @@ def bench_ivfpq(
             sd, si = ivf_search_pq_pallas(
                 q, cent, arrays, codes, tcorr, books,
                 nprobe=nprobe, probe_cap=probe_cap, k=K,
-                metric=Metric.L2, rerank_c=rerank_c, interpret=_interp(),
+                metric=Metric.L2, rerank_c=rerank_c, packed_u4=u4,
+                interpret=_interp(),
             )
             return jnp.sum(sd), jnp.sum(si)
 
@@ -717,7 +729,8 @@ def bench_ivfpq(
         _, si = ivf_search_pq_pallas(
             qpool_eval, cent, arrays, codes, tcorr, books,
             nprobe=nprobe, probe_cap=probe_cap, k=K,
-            metric=Metric.L2, rerank_c=rerank_c, interpret=_interp(),
+            metric=Metric.L2, rerank_c=rerank_c, packed_u4=u4,
+            interpret=_interp(),
         )
         rec = recall_at_k(np.asarray(si), truth)
         sweep.append(
@@ -730,7 +743,7 @@ def bench_ivfpq(
         )
 
     out = {
-        "metric": f"{name}_nlist{nlist}_pq{m_pq}_qps_per_chip_n{n}_d{d}",
+        "metric": f"{name}_nlist{nlist}_pq{m_pq}{'x4' if u4 else ''}_qps_per_chip_n{n}_d{d}",
         "unit": "qps",
         "build_s": round(t_build, 1),
         "build_cached": was_cached,
@@ -740,14 +753,112 @@ def bench_ivfpq(
         "sweep": sweep,
         "batch": b,
     }
+
+    # spill multi-assignment variant (VERDICT r3 next #9): boundary rows
+    # encoded into their two nearest lists lift the routing recall ceiling
+    # at FIXED nprobe — and the probe kernel's cost scales with grid steps
+    # (b·nprobe), not rows, so a spilled nprobe-16 probe beats a plain
+    # nprobe-32 probe on BOTH axes. Duplicated ids dedup in the epilogue.
+    if spill_eps is not None:
+        from vectorindex_tpu.ops.ivf import spill_assign
+
+        del arrays, codes
+        gc.collect()
+
+        def build_sp():
+            src, a_sp, frac = spill_assign(x, centers, eps=spill_eps)
+            arrays_sp, order_sp, _cap = pack_ivf(x, a_sp, nlist, src=src)
+            books_sp, codes_sp, tcorr_sp = pq_csr_state(
+                x, a_sp, centers, arrays_sp, order_sp, m=m_pq, ks=256,
+                u4=u4, iters=12,
+            )
+            return {
+                "src": src,
+                "assign_sp": a_sp,
+                "book_centroids": np.asarray(books_sp.centroids),
+                "codes": np.asarray(codes_sp),
+                "tcorr": np.asarray(tcorr_sp),
+                "frac": np.float64(frac),
+            }
+
+        art_sp, sp_cached = cached(
+            f"{name}_n{n}_d{d}_k{nlist}_pq{m_pq}{'x4' if u4 else ''}"
+            f"{key_tag}_sp{spill_eps}_v1",
+            build_sp,
+        )
+        arrays_sp, _, cap_sp = pack_ivf(
+            x, art_sp["assign_sp"].astype(np.int32), nlist,
+            src=art_sp["src"].astype(np.int32),
+        )
+        bc_sp = jnp.asarray(art_sp["book_centroids"])
+        books_sp = pq_ops.PQCodebooks(
+            centroids=bc_sp, sqnorms=jnp.sum(jnp.square(bc_sp), axis=-1)
+        )
+        codes_sp = jnp.asarray(art_sp["codes"])
+        tcorr_sp = jnp.asarray(art_sp["tcorr"])
+        frac = float(art_sp["frac"])
+
+        sweep_sp = []
+        for nprobe in spill_nprobes:
+
+            def fsp(q, cent, arrays_sp, codes_sp, tcorr_sp):
+                sd, si = ivf_search_pq_pallas(
+                    q, cent, arrays_sp, codes_sp, tcorr_sp, books_sp,
+                    nprobe=nprobe, probe_cap=cap_sp, k=K,
+                    metric=Metric.L2, rerank_c=rerank_c, dedup=True,
+                    packed_u4=u4, interpret=_interp(),
+                )
+                return jnp.sum(sd), jnp.sum(si)
+
+            t, _ = time_loop(
+                fsp, qpool, b, m, args=(cent, arrays_sp, codes_sp, tcorr_sp)
+            )
+            _, si = ivf_search_pq_pallas(
+                qpool_eval, cent, arrays_sp, codes_sp, tcorr_sp, books_sp,
+                nprobe=nprobe, probe_cap=cap_sp, k=K,
+                metric=Metric.L2, rerank_c=rerank_c, dedup=True,
+                packed_u4=u4, interpret=_interp(),
+            )
+            rec = recall_at_k(np.asarray(si), truth)
+            sweep_sp.append(
+                {
+                    "nprobe": nprobe,
+                    "qps": round(b / t, 1),
+                    "ms_per_batch": round(t * 1e3, 3),
+                    "recall_at_10": round(rec, 4),
+                }
+            )
+        out["spill"] = {
+            "eps": spill_eps,
+            "spill_frac": round(frac, 4),
+            "rows_overhead": round(frac, 4),
+            "build_cached": sp_cached,
+            "sweep": sweep_sp,
+        }
+        arrays, codes = arrays_sp, codes_sp  # for the shared del below
+        candidates = [dict(p) for p in sweep] + [
+            {**p, "spilled": True} for p in sweep_sp
+        ]
+    else:
+        candidates = [dict(p) for p in sweep]
+
+    # operating point: prefer the fastest point at recall ≥0.95 (the
+    # production bar — VERDICT r3 next #9), else ≥0.90, else the deepest
+    # plain-sweep point
     best = max(
-        (p for p in sweep if p["recall_at_10"] >= 0.90),
+        (p for p in candidates if p["recall_at_10"] >= 0.95),
+        key=lambda p: p["qps"],
+        default=None,
+    ) or max(
+        (p for p in candidates if p["recall_at_10"] >= 0.90),
         key=lambda p: p["qps"],
         default=sweep[-1],
     )
     out["value"] = best["qps"]
     out["recall_at_10"] = best["recall_at_10"]
     out["at_nprobe"] = best["nprobe"]
+    if best.get("spilled"):
+        out["at_spill_eps"] = spill_eps
     out["vs_baseline"] = round(best["qps"] / REF_IVF_QPS, 1)
 
     if with_flat:
@@ -771,8 +882,9 @@ def bench_ivfpq(
         # The codes-only figure is the host-rerank capacity tier (vectors
         # in host RAM, rerank over PCIe) — measured by the hostpq config.
         out["bytes_per_row_flat_bf16"] = 2 * d
-        out["bytes_per_row_ivfpq_hbm"] = m_pq + 4 + 4 + 2 * d + 4
-        out["bytes_per_row_ivfpq_codes_only"] = m_pq + 4 + 4
+        code_b = m_pq // 2 if u4 else m_pq
+        out["bytes_per_row_ivfpq_hbm"] = code_b + 4 + 4 + 2 * d + 4
+        out["bytes_per_row_ivfpq_codes_only"] = code_b + 4 + 4
         del xp
 
     del arrays, codes, qpool
@@ -879,12 +991,16 @@ def bench_hostpq(
 
     t_e2e = time_host(run, repeats=repeats)
 
-    # PIPELINED serving stream (VERDICT r3 next #7): batch i+1's candidate
-    # kernel dispatches before batch i's host gather+rerank completes, so
-    # per-batch relay latency overlaps instead of serializing. This is the
-    # production serving loop; the per-call t_e2e above is the cold-path
-    # latency figure.
-    nb = 12
+    # PIPELINED serving stream (VERDICT r3 next #7): candidate kernels for
+    # the next `lookahead` batches dispatch before batch i's host
+    # gather+rerank completes, so per-batch relay latency overlaps instead
+    # of serializing. Rerank runs ON THE HOST (the reference's CPU rerank,
+    # ExactRerank.swift:655): only row indices cross the link per batch —
+    # round 3's device-rerank stream shipped B·C·d·4 bytes BOTH ways and
+    # that transfer was the whole 83x gap to the device candidate stage.
+    # This is the production serving loop; the per-call t_e2e above is the
+    # cold-path latency figure.
+    nb = 16
     qstream = _noisy_queries(x, nb * b, seed=12)
     batches = [qstream[i * b : (i + 1) * b] for i in range(nb)]
     t0 = time.perf_counter()
@@ -901,7 +1017,7 @@ def bench_hostpq(
 
     # device-only candidate stage (the hardware-bound part; the host hop on
     # the axon tunnel pays relay latency a real TPU host would not)
-    m = 60
+    m = 4 if _interp() else 60
 
     def cand(qc, cent, arrays, codes, tcorr):
         cd, rows, iids = pq_probe_candidates(
@@ -951,7 +1067,9 @@ def bench_hostpq(
         "ms_device_candidates": round(t_cand * 1e3, 3),
         "hbm_bytes_per_row": hbm_bytes_per_row,
         "host_bytes_per_row": 4 * d,
-        "pcie_bytes_per_batch": b * c * d * 4,
+        "rerank_stage": "host",
+        "pcie_bytes_per_batch": b * c * 8,  # candidate rows+ids down; the
+        # gathered vectors rerank in host RAM and never cross back
         "build_s": round(t_build, 1),
         "build_cached": was_cached,
         "routing": "trained_kmeans",
@@ -1198,7 +1316,9 @@ def bench_churn(
     # 8k streams). Production streaming serves from a warm process; the
     # honest figure is steady-state, with the cold wall reported alongside.
     warm = hnsw.config.build_chunk
-    xw = xnew[:warm] + np.float32(1e-3)  # distinct content, same shapes
+    # distinct content, same shapes (tile when the stream is shorter than
+    # one construction chunk — toy/smoke configs)
+    xw = xnew[np.arange(warm) % stream] + np.float32(1e-3)
     t0 = time.perf_counter()
     hnsw.insert_batch([f"w{i}" for i in range(warm)], xw)
     hnsw.statistics()
@@ -1290,7 +1410,9 @@ _COST_EST = {
     "ivf": (300, 110, ["ivf_kmeans_n1000000_d128_dz16_s21_k1024_v2.npz"]),
     "hnsw": (600, 230, ["hnsw_n100000_d128_m16_v2.vidx",
                         "hnsw_n100000_d128_m16_v2.npz"]),
-    "ivfpq": (400, 260, ["ivfpq_n1000000_d96_k4096_pq16_ld_v3.npz"]),
+    "ivfpq": (700, 320, ["ivfpq_n1000000_d96_k4096_pq16_ld_v3.npz",
+                         "ivfpq_n1000000_d96_k4096_pq32x4_ld_v3.npz",
+                         "ivfpq_n1000000_d96_k4096_pq32x4_ld_sp0.2_v1.npz"]),
     "adc": (250, 90, ["adc_pqtrain_n1000000_d128_m8_v2.npz"]),
     "churn": (300, 220, ["hnsw_n100000_d128_m16_v2.vidx",
                          "hnsw_n100000_d128_m16_v2.npz"]),
@@ -1386,7 +1508,48 @@ def main(argv=None):
             elif cfg == "ivf":
                 out = bench_ivf(max(40, args.iters))
             elif cfg == "ivfpq":
+                # two code shapes at the same 16 B/row budget: the BASELINE
+                # prescription pq16(u8) swept plain, plus pq32x4 with spill
+                # multi-assignment — u4 shrinks the ADC kernel's one-hot
+                # expansion 8x (the measured VPU bound) and spill lifts the
+                # routing ceiling at fixed nprobe, landing the
+                # recall>=0.95 / >=10k QPS operating point (VERDICT r3
+                # next #9; measured 16.8k @ 0.9551). recall at equal
+                # (nprobe, rerank_c) is IDENTICAL across the two shapes —
+                # the exact top-512 rerank absorbs u4's coarser cells.
                 out = bench_ivfpq(iters=args.iters, nprobes=(1, 8, 32, 64))
+                u4o = bench_ivfpq(
+                    iters=args.iters, m_pq=32, u4=True, nprobes=(32,),
+                    spill_eps=0.2, spill_nprobes=(16, 24, 32),
+                )
+                out["pq32x4"] = {
+                    "metric": u4o["metric"],
+                    "sweep": u4o["sweep"],
+                    "spill": u4o["spill"],
+                    "build_s": u4o["build_s"],
+                    "build_cached": u4o["build_cached"],
+                }
+                cands = (
+                    [dict(p) for p in out["sweep"]]
+                    + [{**p, "pq": "32x4"} for p in u4o["sweep"]]
+                    + [{**p, "pq": "32x4", "spilled": True}
+                       for p in u4o["spill"]["sweep"]]
+                )
+                best = max(
+                    (p for p in cands if p["recall_at_10"] >= 0.95),
+                    key=lambda p: p["qps"], default=None,
+                ) or max(
+                    (p for p in cands if p["recall_at_10"] >= 0.90),
+                    key=lambda p: p["qps"], default=cands[-1],
+                )
+                out["value"] = best["qps"]
+                out["recall_at_10"] = best["recall_at_10"]
+                out["at_nprobe"] = best["nprobe"]
+                out["vs_baseline"] = round(best["qps"] / REF_IVF_QPS, 1)
+                if best.get("pq"):
+                    out["at_pq"] = best["pq"]
+                if best.get("spilled"):
+                    out["at_spill_eps"] = 0.2
             elif cfg == "hnsw":
                 out = bench_hnsw()
             elif cfg == "crossover10m":

@@ -201,3 +201,39 @@ def test_hostrerank_pack_without_vecs():
     truth = exact_truth(q, x, k)
     assert recall_at_k(np.asarray(si), truth) >= 0.9
     assert (np.asarray(si)[:, 0] == np.arange(b)).all()
+
+
+def test_rankseg_matches_pair_grid(fixture):
+    """adc_probe_scores routes serving batches (B<=16) through the
+    rank-segment grid; a B>16 batch keeps the per-(query,probe) grid. Both
+    must produce identical partial-distance fields for the same queries."""
+    from vectorindex_tpu.kernels.adc_probe import adc_probe_scores
+
+    f = fixture
+    rng = np.random.default_rng(3)
+    b = 6
+    q = rng.standard_normal((18, f["q"].shape[1])).astype(np.float32)
+    q[b:] = np.repeat(q[:b][:1], 12, axis=0)  # tail is padding content
+    lut = pq_ops.pq_lut_q_l2(jnp.asarray(q), f["books"])
+    from vectorindex_tpu.ops.ivf import ivf_select
+
+    sel_d, pls = ivf_select(
+        jnp.asarray(q), f["cent"], nprobe=f["kc"], metric=Metric.L2
+    )
+    arrays = f["arrays"]
+    sr = arrays.starts[pls]
+    lr = arrays.lengths[pls]
+    m, ks = f["books"].centroids.shape[:2]
+    big = adc_probe_scores(
+        lut, sr, lr, f["codes"], f["tcorr"],
+        nprobe=f["kc"], probe_cap=f["cap"], m=m, ks=ks,
+        interpret=True,
+    )  # b=18 > 16: pair grid
+    small = adc_probe_scores(
+        lut[:b], sr[:b], lr[:b], f["codes"], f["tcorr"],
+        nprobe=f["kc"], probe_cap=f["cap"], m=m, ks=ks,
+        interpret=True,
+    )  # b=6: rank-segment grid
+    np.testing.assert_allclose(
+        np.asarray(small), np.asarray(big)[:b], atol=1e-3, rtol=1e-4
+    )

@@ -78,6 +78,16 @@ def test_bench_ivfpq_smoke():
     assert recalls[-1] >= recalls[0]
 
 
+def test_bench_ivfpq_spill_smoke():
+    bench = _load_bench()
+    out = bench.bench_ivfpq(n=6000, d=32, nlist=8, iters=2, m_pq=4,
+                            spill_eps=0.3, spill_nprobes=(2, 4))
+    _check(out)
+    assert out["spill"]["spill_frac"] > 0
+    assert [p["nprobe"] for p in out["spill"]["sweep"]] == [2, 4]
+    assert all(p["recall_at_10"] >= 0 for p in out["spill"]["sweep"])
+
+
 def test_bench_hnsw_smoke():
     bench = _load_bench()
     out = bench.bench_hnsw(n=1500, d=32, iters=2)

@@ -339,6 +339,38 @@ def test_flat_container_roundtrip(tmp_path):
     assert loaded.search(x[7], 1)[0].id == "new"
 
 
+def test_flat_container_persists_norm_cache(tmp_path):
+    """Norm-cache persistence (reference NormCacheHeader, Norms.swift:244):
+    load pre-warms the device mirror from the NORMS_SQ section — values
+    must equal a fresh recompute, search must be correct immediately, and
+    a post-load mutation must invalidate the pre-warmed mirror."""
+    import numpy as np
+
+    from vectorindex_tpu.models.flat import FlatIndex
+    from vectorindex_tpu.persistence.container import Container, SectionType
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((32, 8)).astype(np.float32)
+    idx = FlatIndex(8)
+    idx.insert_batch([f"v{i}" for i in range(32)], x)
+    p = str(tmp_path / "flat_norms.vx")
+    idx.save_container(p)
+
+    with Container.open(p) as c:
+        # section views alias the mapping — copy before close
+        sqn = np.array(c.read_array(SectionType.NORMS_SQ, verify=True))
+    np.testing.assert_allclose(sqn, np.einsum("nd,nd->n", x, x), rtol=1e-6)
+
+    loaded = FlatIndex.load_container(p)
+    assert loaded._dev is not None  # pre-warmed, no recompute needed
+    dev_sqn = np.asarray(loaded._dev[1])  # [capacity]; pad rows are zero
+    np.testing.assert_allclose(dev_sqn[:32], sqn, rtol=1e-6)
+    assert (dev_sqn[32:] == 0).all()
+    assert loaded.search(x[5], 1)[0].id == "v5"
+    loaded.insert("new", x[5] * 2.0)
+    assert loaded.search(x[5] * 2.0, 1)[0].id == "new"
+
+
 def test_hnsw_container_roundtrip_no_rebuild(tmp_path):
     """ROADMAP #7: the graph itself persists — load must NOT reconstruct
     (identical neighbor tables, identical search results)."""

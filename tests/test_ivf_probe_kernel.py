@@ -307,3 +307,55 @@ def test_rankseg_property_adversarial_skew(skew_case, monkeypatch):
     np.testing.assert_allclose(
         rn[np.isfinite(rn)], an[np.isfinite(an)], rtol=1e-5, atol=1e-5
     )
+
+
+def test_filtered_l2_rank_major_matches_pair_path():
+    """L2 row-allow filtering rides the sqnorm stream through the fast
+    rank-major kernel (round 4: the pair-path fallback measured 24x slower
+    at the bench point). Results must be identical to the exhaustive pair
+    path with the mask applied on the probed-distance matrix, and every
+    returned id must be allowed."""
+    cent, x, store = _clustered(n=1200, kc=11)
+    arrays = store.sync_device()
+    cap = probe_cap_for(store.max_length)
+    rng = np.random.default_rng(7)
+    b, k = 8, 10  # b <= 16: rank-major eligible
+    q = jnp.asarray(rng.standard_normal((b, x.shape[1])).astype(np.float32))
+    c = jnp.asarray(cent)
+    allow_corpus = rng.random(x.shape[0]) < 0.2
+    row_ids = np.asarray(arrays.row_ids)
+    ra = np.zeros(row_ids.shape[0], dtype=bool)
+    live = row_ids >= 0
+    ra[live] = allow_corpus[row_ids[live]]
+    row_allow = jnp.asarray(ra)
+
+    d_rm, i_rm = ivf_search_flat_pallas(
+        q, c, arrays, None, row_allow,
+        nprobe=11, probe_cap=cap, k=k, metric=Metric.L2, interpret=True,
+    )
+    # force the pair path by exceeding the rank-major batch bound: pad the
+    # query batch past 16 and compare the shared prefix
+    q_big = jnp.concatenate([q] * 3, axis=0)  # b=24 > 16
+    d_pp, i_pp = ivf_search_flat_pallas(
+        q_big, c, arrays, None, row_allow,
+        nprobe=11, probe_cap=cap, k=k, metric=Metric.L2, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i_rm), np.asarray(i_pp)[:b])
+    np.testing.assert_allclose(
+        np.asarray(d_rm), np.asarray(d_pp)[:b], atol=1e-4, rtol=1e-4
+    )
+    ids = np.asarray(i_rm)
+    for row in ids:
+        lv = row[row != INVALID_ID]
+        assert len(lv) == k  # k results survive a 20%-selective filter
+        assert allow_corpus[lv].all()
+    # brute force over the allowed subset at full probe = exact
+    allowed = np.flatnonzero(allow_corpus)
+    qn = np.asarray(q)
+    dist = (
+        np.sum(qn**2, 1)[:, None]
+        + np.sum(x[allowed] ** 2, 1)[None, :]
+        - 2.0 * qn @ x[allowed].T
+    )
+    ref = allowed[np.argsort(dist, axis=1, kind="stable")[:, :k]]
+    assert (np.sort(ref, axis=1) == np.sort(ids, axis=1)).mean() > 0.95

@@ -87,3 +87,31 @@ def test_sharded_bf16_storage():
     res = idx.batch_search(x[:10], 1)
     top1 = np.mean([row[0].id == i for i, row in enumerate(res)])
     assert top1 >= 0.9  # bf16 quantization keeps self-recall
+
+
+def test_sharded_flat_id_set_filtering():
+    """allow/deny id sets reach the sharded scan mask BEFORE the per-shard
+    top-k (round 4: search() forwarded them but batch_search rejected the
+    kwargs — every sharded flat search with defaults raised TypeError)."""
+    idx = ShardedFlatIndex(8, n_devices=8)
+    x = _data(400, 8, seed=9)
+    idx.insert_batch(list(range(400)), x)
+    allowed = set(range(0, 400, 7))
+    res = idx.search(x[21], 5, allow_ids=allowed)
+    assert len(res) == 5 and res[0].id == 21
+    assert all(r.id in allowed for r in res)
+    res2 = idx.search(x[21], 5, deny_ids={21})
+    assert len(res2) == 5 and all(r.id != 21 for r in res2)
+
+
+def test_sharded_hnsw_id_set_filtering():
+    from vectorindex_tpu.models.sharded import ShardedHNSWIndex
+
+    idx = ShardedHNSWIndex(8, n_devices=4)
+    x = _data(600, 8, seed=10)
+    idx.insert_batch(list(range(600)), x)
+    res = idx.search(x[33], 3, deny_ids={33})
+    assert res and all(r.id != 33 for r in res)
+    allowed = set(range(0, 600, 2))
+    res2 = idx.search(x[34], 3, allow_ids=allowed)
+    assert res2 and all(r.id in allowed for r in res2)

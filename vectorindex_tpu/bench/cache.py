@@ -15,6 +15,17 @@ artifact plus a generator version. Scalars (e.g. the build seconds measured
 when the artifact was first built) ride along as 0-d arrays, so warm runs
 can report the true, reproducible build cost instead of cache-load time
 (VERDICT r2 weak #6: build times varied 2.6x run-to-run).
+
+Arrays above _MMAP_THRESHOLD bytes are persisted as raw .npy sidecars and
+handed back as read-only np.memmap views: an uncompressed-npz reload of the
+10M x 96 corpus copies 3.8 GB through the zip layer (~3 min of the round-3
+warm crossover cost), while a memmap open is O(1) and pages in only what a
+consumer actually touches — which for the host-rerank tier (CSRReader
+gathers of B*C rows per batch) is exactly the production access pattern:
+the reference serves vectors from an mmap-ed container the same way
+(VIndexMmap.swift:222). The sidecars are written before the .npz and the
+.npz presence gates artifact validity, so a killed run can never leave a
+readable-but-partial artifact.
 """
 
 from __future__ import annotations
@@ -26,6 +37,10 @@ from typing import Callable, Dict
 import numpy as np
 
 _ENV = "VECTORINDEX_BENCH_CACHE"
+_MMAP_THRESHOLD = int(
+    os.environ.get("VECTORINDEX_BENCH_MMAP_BYTES", 128 << 20)
+)
+_MMAP_INDEX_KEY = "__mmap_names__"
 
 
 def cache_dir() -> str:
@@ -37,25 +52,50 @@ def cache_dir() -> str:
     return d
 
 
+def _sidecar(key: str, name: str) -> str:
+    return os.path.join(cache_dir(), f"{key}__{name}.npy")
+
+
 def cached(
     key: str, builder: Callable[[], Dict[str, np.ndarray]]
 ) -> tuple[Dict[str, np.ndarray], bool]:
     """(artifact dict, was_cached). builder() runs once per key; its dict of
     arrays is persisted and replayed on subsequent calls. A 'build_s' scalar
-    recording the builder's wall-clock is added if the builder didn't."""
+    recording the builder's wall-clock is added if the builder didn't.
+    Arrays >_MMAP_THRESHOLD bytes come back as read-only memmap views."""
     path = os.path.join(cache_dir(), key + ".npz")
     if os.path.exists(path):
         try:
             with np.load(path, allow_pickle=False) as z:
-                return {k: z[k] for k in z.files}, True
+                out = {k: z[k] for k in z.files if k != _MMAP_INDEX_KEY}
+                names = (
+                    [str(s) for s in z[_MMAP_INDEX_KEY]]
+                    if _MMAP_INDEX_KEY in z.files else []
+                )
+            for name in names:
+                out[name] = np.load(_sidecar(key, name), mmap_mode="r")
+            return out, True
         except Exception:
-            os.remove(path)  # half-written cache from a killed run
+            os.remove(path)  # half-written/stale cache from a killed run
     t0 = time.perf_counter()
     arrs = builder()
     build_s = time.perf_counter() - t0
     arrs = dict(arrs)
     arrs.setdefault("build_s", np.float64(build_s))
+    small, big = {}, {}
+    for name, a in arrs.items():
+        a = np.asarray(a)
+        (big if a.nbytes > _MMAP_THRESHOLD else small)[name] = a
+    # sidecars first: the .npz (written last, atomically) gates validity
+    for name, a in big.items():
+        tmp = _sidecar(key, name) + ".tmp.npy"
+        np.save(tmp, a)
+        os.replace(tmp, _sidecar(key, name))
+    if big:
+        small[_MMAP_INDEX_KEY] = np.array(sorted(big), dtype=np.str_)
     tmp = path + ".tmp.npz"  # .npz suffix so np.savez doesn't append one
-    np.savez(tmp, **arrs)
+    np.savez(tmp, **small)
     os.replace(tmp, path)
+    for name in big:  # hand back memmap views, same as a warm load
+        arrs[name] = np.load(_sidecar(key, name), mmap_mode="r")
     return arrs, False

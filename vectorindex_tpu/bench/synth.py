@@ -107,6 +107,7 @@ def pack_ivf(
     nlist: int,
     storage_dtype=jnp.bfloat16,
     with_vecs: bool = True,
+    src: np.ndarray = None,
 ) -> Tuple[IVFListArrays, np.ndarray, int]:
     """Pack (x, assignments) into the CSR device layout.
 
@@ -117,10 +118,16 @@ def pack_ivf(
     with_vecs=False builds the codes-only/host-rerank tier: vecs and
     sqnorms stay None (never hit HBM) — only the CSR metadata (starts,
     lengths, row_ids) is device-resident. Valid for the PQ search paths,
-    which score from code arrays (kernels/adc_probe)."""
+    which score from code arrays (kernels/adc_probe).
+
+    src (optional, [n_assign] i32): multi-assignment expansion from
+    ops.ivf.spill_assign — assign[j] places row x[src[j]], so a corpus row
+    may occupy several CSR slots (one per list it spilled into). row_ids
+    then carry ORIGINAL corpus indices (duplicated for spilled rows);
+    search epilogues dedup by id."""
     from vectorindex_tpu.kernels.ivf_probe import GUARD_BLOCKS
 
-    n = x.shape[0]
+    n = assign.shape[0]
     lengths = np.bincount(assign, minlength=nlist).astype(np.int32)
     caps = (np.ceil(np.maximum(lengths, 1) / BLK).astype(np.int64)) * BLK
     starts = np.concatenate([[0], np.cumsum(caps)[:-1]]).astype(np.int32)
@@ -133,6 +140,8 @@ def pack_ivf(
             assign[order]
         ]
     )
+    if src is not None:
+        order = src[order]  # packed row -> ORIGINAL corpus index
     row_ids = np.full(total, -1, np.int32)
     row_ids[rows] = order
     if with_vecs:
@@ -164,24 +173,44 @@ def pq_csr_state(
     *,
     m: int,
     ks: int = 256,
+    u4: bool = False,
     iters: int = 12,
     train_sample: int = 131072,
     seed: int = 7,
     encode_chunk: int = 4_000_000,
 ):
     """Residual-PQ state in packed row order:
-    (books, codes [N_pad, m] u8, tcorr [N_pad] f32). Dead rows are zeros
+    (books, codes [N_pad, m] u8 — or [N_pad, m//2] nibble-packed when
+    u4=True (ks forced to 16) — and tcorr [N_pad] f32). Dead rows are zeros
     (masked by list lengths in the probe kernel).
+
+    u4 at the same byte budget (e.g. pq32x4 vs pq16x8 = 16 B/row) is the
+    TPU-friendly code shape: the ADC kernels' one-hot expansion is
+    [m·ks, BLK] work per 256-row block, and m·ks drops 8x (512 vs 4096),
+    which is exactly the VPU arithmetic that bounds the probe kernel
+    (measured round 4: the rank-segment and per-pair grids time identically
+    — the kernel is expansion-bound, not DMA-bound).
 
     Encoding streams host→device in `encode_chunk`-row chunks: a 30M×96
     corpus needs 11.5 GB for x alone — residual+encode over the whole array
     would double-buffer past HBM. Chunking keeps device residency at
-    ~2·chunk·d·4 bytes regardless of n (the host tier's whole point)."""
-    from vectorindex_tpu.ops import pq as pq_ops
+    ~2·chunk·d·4 bytes regardless of n (the host tier's whole point).
 
-    n = x.shape[0]
+    Residuals are taken against the list each PACKED slot belongs to
+    (derived from the CSR metadata), not assign[order]: under spill
+    multi-assignment (ops.ivf.spill_assign) a corpus row's second copy
+    lives in — and must be encoded against — its second-nearest list.
+    assign is only used to pick the codebook training sample (primary
+    assignments; the first n entries under spill)."""
+    from vectorindex_tpu.ops import pq as pq_ops
+    from vectorindex_tpu.ops.dtypes import pack_u4
+
+    if u4:
+        ks = 16
+    n = order.shape[0]  # live packed rows (exceeds x rows under spill)
     rng = np.random.default_rng(seed)
-    samp = rng.choice(n, min(train_sample, n), replace=False)
+    n_x = x.shape[0]
+    samp = rng.choice(n_x, min(train_sample, n_x), replace=False)
     key = jax.random.key(seed)
     cent_dev = jnp.asarray(centers)
     books = pq_ops.pq_train_residual(
@@ -204,7 +233,7 @@ def pq_csr_state(
     for s in range(0, n, encode_chunk):
         e = min(s + encode_chunk, n)
         res = pq_ops.residuals(
-            jnp.asarray(x[order[s:e]]), cent_dev, jnp.asarray(assign[order[s:e]])
+            jnp.asarray(x[order[s:e]]), cent_dev, jnp.asarray(row_list[s:e])
         )
         cchunk = pq_ops.pq_encode(res, books)
         codes_live[s:e] = np.asarray(cchunk)
@@ -219,6 +248,10 @@ def pq_csr_state(
     codes[live_rows] = codes_live
     tcorr = np.zeros(total, np.float32)
     tcorr[live_rows] = tcorr_live
+    if u4:
+        # nibble-pack AFTER tcorr (pq_row_corrections reads class ids);
+        # probe kernels take packed_u4=True and unpack lo|hi in-kernel
+        codes = np.asarray(pack_u4(jnp.asarray(codes)))
     return books, jnp.asarray(codes), jnp.asarray(tcorr)
 
 

@@ -132,6 +132,215 @@ def _adc_probe_kernel(
     jax.lax.fori_loop(0, nch, body, 0)
 
 
+def _adc_rankseg_kernel(
+    sb_ref,  # scalar prefetch: [nprobe*B] i32 start BLOCK, rank-major
+    lr_ref,  # scalar prefetch: [nprobe*B] i32 live rows, rank-major
+    lut_ref,  # [B, m·ks] bf16/f32, code-major flat, VMEM-resident
+    codes_ref,  # [NB, mb, BLK] u8 (block-transposed), HBM
+    tcorr_ref,  # [NB, 1, BLK] f32, HBM
+    out_ref,  # block [1, B, seg_rows] f32
+    cbuf,  # VMEM (2, B, sgb, mb, BLK) u8
+    tbuf,  # VMEM (2, B, sgb, 1, BLK) f32
+    sems,  # DMA semaphores (2, B, 2)
+    *,
+    nprobe: int,
+    nseg: int,
+    sgb: int,
+    m: int,
+    ks: int,
+    packed_u4: bool,
+    mxu_dtype,
+):
+    """Rank-segment ADC probe (the PQ sibling of ivf_probe's rank-major
+    kernel): the per-(query, probe) grid costs a DMA-latency + sequencing
+    wall per step — at B=8, nprobe=32 that is 256 steps for ~2 MB of code
+    reads, and the kernel measures ~5x the flat probe that reads 12x the
+    bytes. One rank-segment step instead DMAs EVERY query's rank-r list
+    segment concurrently (B double-buffered copies in flight) and unrolls
+    the one-hot contraction over the B·sgb resident blocks, so the grid
+    shrinks to nprobe·nseg steps and the expansion arithmetic — not DMA
+    latency — bounds the kernel.
+
+    (A u8 one-hot compare would pack 4x denser on VPU sublanes, but
+    Mosaic on v5e rejects vector i8 comparisons — "Target does not support
+    this comparison" — so the compare stays in i32 like the pair kernel.)"""
+    t = pl.program_id(0)
+    b = lut_ref.shape[0]
+    seg_rows = sgb * BLK
+    r = t // nseg
+    s = jax.lax.rem(t, nseg)
+
+    def step_dmas(tt, slot):
+        rr = tt // nseg
+        ss = jax.lax.rem(tt, nseg)
+        base = rr * b
+        out = []
+        for j in range(b):
+            live = lr_ref[base + j] - ss * seg_rows
+            start = sb_ref[base + j] + ss * sgb
+            out.append(
+                (
+                    live > 0,
+                    pltpu.make_async_copy(
+                        codes_ref.at[pl.ds(start, sgb)],
+                        cbuf.at[slot, j],
+                        sems.at[slot, j, 0],
+                    ),
+                    pltpu.make_async_copy(
+                        tcorr_ref.at[pl.ds(start, sgb)],
+                        tbuf.at[slot, j],
+                        sems.at[slot, j, 1],
+                    ),
+                )
+            )
+        return out
+
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _():
+        for cond, cc, ct in step_dmas(0, 0):
+            @pl.when(cond)
+            def _():
+                cc.start()
+                ct.start()
+
+    @pl.when(t + 1 < nprobe * nseg)
+    def _():
+        for cond, cc, ct in step_dmas(t + 1, 1 - slot):
+            @pl.when(cond)
+            def _():
+                cc.start()
+                ct.start()
+
+    for cond, cc, ct in step_dmas(t, slot):
+        @pl.when(cond)
+        def _():
+            cc.wait()
+            ct.wait()
+
+    # class-id pattern for the one-hot compare (loop-invariant; the
+    # compiler CSEs it across the unroll)
+    val = jax.lax.broadcasted_iota(jnp.int32, (m * ks, BLK), 0) // m
+    lut = lut_ref[:]  # [B, m·ks]
+
+    for j in range(b):
+        live_j = lr_ref[r * b + j] - s * seg_rows
+        dists = []
+        for u in range(sgb):
+            raw = cbuf[slot, j, u].astype(jnp.int32)  # [mb, BLK]
+            if packed_u4:
+                lo = raw & 0xF
+                hi = raw >> 4
+                codes = jnp.concatenate([lo, hi], axis=0)  # [m, BLK]
+            else:
+                codes = raw
+            codes_rep = pltpu.repeat(codes, ks, axis=0)  # [m·ks, BLK]
+            onehot = (codes_rep == val).astype(mxu_dtype)
+            g = jax.lax.dot_general(
+                lut[j : j + 1],  # [1, m·ks] — this block belongs to query j
+                onehot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [1, BLK]
+            dists.append(g + tbuf[slot, j, u])
+        dist = jnp.concatenate(dists, axis=1)  # [1, seg_rows]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, seg_rows), 1)
+        # dead lanes (incl. whole dead segments with uninitialized VMEM)
+        # are masked; where() selects INVALID regardless of NaN garbage
+        out_ref[0, j : j + 1] = jnp.where(
+            lane < live_j, dist, INVALID_DIST
+        )
+
+
+#: rank-segment VMEM budget for the double-buffered code tiles
+_ADC_RANKSEG_VMEM = 4 * 1024 * 1024
+
+
+def _adc_seg_blocks(b: int, kbr: int, mb: int) -> int:
+    from vectorindex_tpu.kernels.ivf_probe import GUARD_BLOCKS
+
+    sgb = max(1, _ADC_RANKSEG_VMEM // (2 * b * (mb + 4) * BLK))
+    return min(sgb, kbr, GUARD_BLOCKS)
+
+
+def adc_rankseg_fits(b: int) -> bool:
+    """Rank-segment engages at serving batch sizes (B concurrent DMA
+    streams + a B-way unrolled kernel body); large batches keep the
+    per-pair grid, which pipelines more uniformly."""
+    return 1 <= b <= 16
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nprobe", "probe_cap", "m", "ks", "packed_u4", "interpret"),
+)
+def adc_probe_scores_rankseg(
+    lut_flat: Array,  # [B, m·ks] code-major flat (already permuted for u4)
+    start_rows: Array,  # [B, nprobe] i32 (row units)
+    live_rows: Array,  # [B, nprobe] i32
+    codes_blocked: Array,  # [NB, mb, BLK] u8
+    tcorr_blocked: Array,  # [NB, 1, BLK] f32
+    *,
+    nprobe: int,
+    probe_cap: int,
+    m: int,
+    ks: int,
+    packed_u4: bool = False,
+    interpret: bool = False,
+) -> Array:
+    """Rank-segment ADC partials → [B, nprobe·probe_cap] f32 (+inf dead)."""
+    b = lut_flat.shape[0]
+    mb = codes_blocked.shape[1]
+    assert probe_cap % BLK == 0
+    kbr = probe_cap // BLK
+    sgb = _adc_seg_blocks(b, kbr, mb)
+    nseg = -(-kbr // sgb)
+    seg_rows = sgb * BLK
+    start_blk = (start_rows // BLK).T.reshape(-1).astype(jnp.int32)
+    lens = live_rows.T.reshape(-1).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nprobe * nseg,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lut (batch-stationary)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # codes
+            pl.BlockSpec(memory_space=pltpu.HBM),  # tcorr
+        ],
+        out_specs=pl.BlockSpec(
+            (1, b, seg_rows), lambda i, sb, lr: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, b, sgb, mb, BLK), jnp.uint8),
+            pltpu.VMEM((2, b, sgb, 1, BLK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, b, 2)),
+        ],
+    )
+    mxu_dtype = jnp.float32 if interpret else jnp.bfloat16
+    out = pl.pallas_call(
+        partial(
+            _adc_rankseg_kernel,
+            nprobe=nprobe, nseg=nseg, sgb=sgb, m=m, ks=ks,
+            packed_u4=packed_u4, mxu_dtype=mxu_dtype,
+        ),
+        out_shape=jax.ShapeDtypeStruct((nprobe * nseg, b, seg_rows), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(start_blk, lens, lut_flat.astype(mxu_dtype), codes_blocked, tcorr_blocked)
+    # [nprobe·nseg, B, seg] → [B, nprobe, nseg·seg] → clip to probe_cap
+    out = (
+        out.reshape(nprobe, nseg, b, seg_rows)
+        .transpose(2, 0, 1, 3)
+        .reshape(b, nprobe, nseg * seg_rows)[:, :, :probe_cap]
+    )
+    return out.reshape(b, nprobe * probe_cap)
+
+
 @partial(
     jax.jit,
     static_argnames=("nprobe", "probe_cap", "m", "ks", "packed_u4", "interpret"),
@@ -151,7 +360,8 @@ def adc_probe_scores(
     interpret: bool = False,
 ) -> Array:
     """ADC partial distances (WITHOUT the base(q, list) term) for every
-    (query, probe, slot) → [B, nprobe·probe_cap] f32, +inf in dead slots."""
+    (query, probe, slot) → [B, nprobe·probe_cap] f32, +inf in dead slots.
+    Serving batches (B <= 16) route through the rank-segment grid."""
     b = lut_q.shape[0]
     n_pad, mb = codes.shape
     assert probe_cap % BLK == 0 and n_pad % BLK == 0
@@ -179,6 +389,13 @@ def adc_probe_scores(
     else:
         lut_flat = lut_q.transpose(0, 2, 1).reshape(b, ks * m)
     lut_flat = lut_flat.astype(mxu_dtype)
+
+    if adc_rankseg_fits(b):
+        return adc_probe_scores_rankseg(
+            lut_flat, start_rows, live_rows, codes_blocked, tcorr_blocked,
+            nprobe=nprobe, probe_cap=probe_cap, m=m, ks=ks,
+            packed_u4=packed_u4, interpret=interpret,
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -215,11 +432,21 @@ def adc_probe_scores(
     return out.reshape(b, nprobe * probe_cap)
 
 
+def _dedup_missing(iids: Array, missing: Array) -> Array:
+    """Mark all-but-the-first occurrence of each candidate id as missing —
+    required under spill multi-assignment (ops.ivf.spill_assign), where a
+    corpus row can reach the top-C from two lists. Kernel #32's
+    position-preserving dedup (ops.dedup.dedup_mask)."""
+    from vectorindex_tpu.ops.dedup import dedup_mask
+
+    return dedup_mask(iids, missing)
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "nprobe", "probe_cap", "k", "metric", "packed_u4", "rerank_c",
-        "interpret",
+        "dedup", "interpret",
     ),
 )
 def ivf_search_pq_pallas(
@@ -241,6 +468,8 @@ def ivf_search_pq_pallas(
     #   order — masked BEFORE top-C selection (reference IDFilter.swift:104
     #   allow/deny threading), so k results survive selective filters
     disabled_lists: Optional[Array] = None,  # [kc] bool (IVFSelect.swift:16)
+    dedup: bool = False,  # required under spill multi-assignment: a row's
+    #   two CSR copies share an internal id — keep one (kernel #32 contract)
     interpret: bool = False,
 ) -> Tuple[Array, Array]:
     """IVF-PQ ADC probed search → (dist [B,k], internal ids [B,k]).
@@ -304,6 +533,8 @@ def ivf_search_pq_pallas(
     rows = jnp.clip(rows, 0, arrays.row_ids.shape[0] - 1)
     iids = arrays.row_ids[rows]
     missing = ~jnp.isfinite(cd)
+    if dedup:
+        missing = _dedup_missing(iids, missing)
     iids = jnp.where(missing, INVALID_ID, iids)
 
     if rerank_c:
@@ -350,7 +581,8 @@ def ivf_search_pq_pallas(
 @partial(
     jax.jit,
     static_argnames=(
-        "nprobe", "probe_cap", "c", "metric", "packed_u4", "interpret",
+        "nprobe", "probe_cap", "c", "metric", "packed_u4", "dedup",
+        "interpret",
     ),
 )
 def pq_probe_candidates(
@@ -368,6 +600,7 @@ def pq_probe_candidates(
     packed_u4: bool = False,
     row_allow: Optional[Array] = None,  # [N_pad] bool, CSR row order
     disabled_lists: Optional[Array] = None,  # [kc] bool
+    dedup: bool = False,  # spill multi-assignment: drop duplicate-id copies
     interpret: bool = False,
 ) -> Tuple[Array, Array, Array]:
     """ADC probe → top-C candidates only: (adc_dist [B,c] f32,
@@ -425,6 +658,9 @@ def pq_probe_candidates(
     rows = jnp.clip(rows, 0, arrays.row_ids.shape[0] - 1)
     iids = arrays.row_ids[rows]
     missing = ~jnp.isfinite(cd)
+    if dedup:
+        missing = _dedup_missing(iids, missing)
+        cd = jnp.where(missing, INVALID_DIST, cd)
     rows = jnp.where(missing, 0, rows)
     iids = jnp.where(missing, INVALID_ID, iids)
     return cd, rows, iids
@@ -447,6 +683,9 @@ def ivf_search_pq_hostrerank(
     packed_u4: bool = False,
     row_allow: Optional[Array] = None,
     disabled_lists: Optional[Array] = None,
+    dedup: bool = False,  # REQUIRED under spill multi-assignment, like the
+    #   HBM path: duplicate-id candidates otherwise waste top-k slots
+    host_rerank: bool = True,
     interpret: bool = False,
 ) -> Tuple[Array, Array]:
     """IVF-PQ search with the exact-rerank source OUTSIDE device memory
@@ -454,10 +693,13 @@ def ivf_search_pq_hostrerank(
 
     Three stages: (1) on-device ADC probe + top-C (pq_probe_candidates),
     (2) host gather of ONLY the B·C winning rows through `reader`,
-    (3) on-device f32-HIGHEST rerank + strict (score, id) top-k
-    (ops.rerank.rerank_gathered). Per-batch PCIe traffic is B·C·d·4 bytes
-    (~0.5 MB at B=8, C=128, d=96) instead of an HBM-resident corpus."""
-    from vectorindex_tpu.ops.rerank import rerank_gathered
+    (3) exact f32 rerank + strict (score, id) top-k — on the HOST by
+    default (rerank_gathered_host: the rows are already in host RAM and
+    the reference reranks on CPU too, ExactRerank.swift:655; shipping
+    them back to the device costs B·C·d·4 bytes of PCIe each way for
+    ~25 MFLOP of work). host_rerank=False keeps the round-3 device-rerank
+    path (ops.rerank.rerank_gathered) for sources already near the device."""
+    from vectorindex_tpu.ops.rerank import rerank_gathered, rerank_gathered_host
 
     q = jnp.asarray(np.asarray(q, dtype=np.float32))
     b, d = q.shape
@@ -468,16 +710,20 @@ def ivf_search_pq_hostrerank(
         q, centroids, arrays, codes, tcorr, books,
         nprobe=nprobe, probe_cap=probe_cap, c=c, metric=metric,
         packed_u4=packed_u4, row_allow=row_allow,
-        disabled_lists=disabled_lists, interpret=interpret,
+        disabled_lists=disabled_lists, dedup=dedup, interpret=interpret,
     )
-    rows_np = np.asarray(rows)  # [B, c] — the only device→host transfer
+    rows_np = np.asarray(rows)  # [B, c] device→host
     g = reader.gather(rows_np.reshape(-1))  # [B·c, d or d_pad] — a reader
     # may serve lane-padded rows (e.g. ArrayReader over packed storage);
-    # ship only the logical-d columns (pad cols are zeros — at d=96 the
-    # padded width would waste 1/3 of the PCIe transfer)
+    # keep only the logical-d columns (pad cols are zeros)
     if g.shape[-1] > d:
         g = np.ascontiguousarray(g[:, :d])
     xg = g.reshape(b, rows_np.shape[1], g.shape[-1])
+    if host_rerank:
+        # results stay host-side (numpy): nothing returns to the device
+        return rerank_gathered_host(
+            np.asarray(q), xg, np.asarray(iids), k=k, metric=metric
+        )
     return rerank_gathered(
         q, jnp.asarray(xg), cd, iids, k=k, metric=metric
     )
@@ -500,20 +746,29 @@ def ivf_search_pq_hostrerank_stream(
     packed_u4: bool = False,
     row_allow: Optional[Array] = None,
     disabled_lists: Optional[Array] = None,
+    dedup: bool = False,
+    host_rerank: bool = True,
+    lookahead: int = 3,
     interpret: bool = False,
 ):
-    """PIPELINED host-rerank serving (VERDICT r3 next #7): batch i+1's
-    device candidate kernel is dispatched BEFORE batch i's host gather +
-    rerank complete, so the device candidate stage, the PCIe/host gather,
-    and the device rerank overlap — steady-state throughput approaches
-    max(stage) instead of their sum. JAX async dispatch makes this a
-    one-batch lookahead: np.asarray(rows_i) blocks only on batch i while
-    batch i+1's kernel is already in the device queue, and the gather for
-    batch i runs on the host in that shadow (the reference pipelines gather
-    tiles the same way — ExactRerank.swift:21-64 gatherTile/
-    reorderBySegment). Yields (dist [B,k], ids [B,k]) per batch, in order.
-    """
-    from vectorindex_tpu.ops.rerank import rerank_gathered
+    """PIPELINED host-rerank serving (VERDICT r3 next #7): the device
+    candidate kernels for the next `lookahead` batches are dispatched
+    BEFORE batch i's host gather + rerank complete, so the device stage,
+    the PCIe transfers, and the host rerank overlap — steady-state
+    throughput approaches max(stage) instead of their sum (the reference
+    pipelines gather tiles the same way — ExactRerank.swift:21-64
+    gatherTile/reorderBySegment).
+
+    host_rerank=True (default) reranks on the CPU (rerank_gathered_host):
+    only the candidate row indices cross the link per batch (B·C·8 bytes),
+    and results never touch the device — the production host-tier loop.
+    The device-rerank mode additionally ships the B·C gathered rows back
+    (B·C·d·4 bytes each way), which round 3 measured as the entire e2e
+    gap under the axon tunnel. Yields (dist [B,k], ids [B,k]) per batch,
+    in order."""
+    from collections import deque
+
+    from vectorindex_tpu.ops.rerank import rerank_gathered, rerank_gathered_host
 
     def dispatch(qb):
         qd = jnp.asarray(np.asarray(qb, dtype=np.float32))
@@ -525,7 +780,7 @@ def ivf_search_pq_hostrerank_stream(
             qd, centroids, arrays, codes, tcorr, books,
             nprobe=nprobe, probe_cap=probe_cap, c=c, metric=metric,
             packed_u4=packed_u4, row_allow=row_allow,
-            disabled_lists=disabled_lists, interpret=interpret,
+            disabled_lists=disabled_lists, dedup=dedup, interpret=interpret,
         )
         return qd, cd, rows, iids, d
 
@@ -536,15 +791,18 @@ def ivf_search_pq_hostrerank_stream(
         if g.shape[-1] > d:
             g = np.ascontiguousarray(g[:, :d])
         xg = g.reshape(qd.shape[0], rows_np.shape[1], g.shape[-1])
+        if host_rerank:
+            return rerank_gathered_host(
+                np.asarray(qd), xg, np.asarray(iids), k=k, metric=metric
+            )
         return rerank_gathered(
             qd, jnp.asarray(xg), cd, iids, k=k, metric=metric
         )
 
-    pend = None
+    pending = deque()
     for qb in q_batches:
-        nxt = dispatch(qb)  # enqueued async; runs while we finish `pend`
-        if pend is not None:
-            yield finish(pend)
-        pend = nxt
-    if pend is not None:
-        yield finish(pend)
+        pending.append(dispatch(qb))  # enqueued async
+        if len(pending) > max(lookahead, 1):
+            yield finish(pending.popleft())
+    while pending:
+        yield finish(pending.popleft())

@@ -312,20 +312,34 @@ def ivf_search_flat_pallas(
         rws = jnp.take_along_axis(start_rows, probe_of, axis=1) + off
         return cdp, jnp.clip(rws, 0, arrays.row_ids.shape[0] - 1)
 
-    # the rank-major in-kernel binned selection can't see a row mask (its
-    # completeness proof covers unmasked minima only) — filtered searches
-    # take the exhaustive pair path
-    if row_allow is None and rank_major_fits(
+    # L2 filtered searches keep the fast rank-major path by folding the
+    # row mask into the sqnorm stream: a denied row's ‖x‖² becomes +inf, so
+    # its kernel distance is +inf and the in-kernel binned selection (and
+    # its dropped-min completeness proof) operate on the masked distance
+    # field unchanged — no extra DMA stream, no kernel variant. Round 4
+    # measured the pair-path fallback at 24x the unfiltered rank-major
+    # cost on the 1M/nprobe=32 bench point. IP/cosine don't route ‖x‖²
+    # into the score the same way, so they take the exhaustive pair path.
+    rm_fits = rank_major_fits(
         b, probe_cap, vecs.shape[1], vecs.dtype.itemsize
-    ) and (
-        k <= 2 * CBINS
-    ):
+    ) and (k <= 2 * CBINS)
+    if rm_fits and row_allow is not None and metric == Metric.L2:
+        allow_p = row_allow
+        if allow_p.shape[0] < sqn.shape[0]:  # degenerate-store padding
+            allow_p = jnp.concatenate(
+                [allow_p,
+                 jnp.zeros((sqn.shape[0] - allow_p.shape[0],), bool)]
+            )
+        sqn_rm = jnp.where(allow_p, sqn, INVALID_DIST)
+    else:
+        sqn_rm = sqn
+    if rm_fits and (row_allow is None or metric == Metric.L2):
         # serving fast path: candidates are selected IN-KERNEL (binned
         # minima keyed by CSR row) — no [B, nprobe·probe_cap] matrix, no
         # XLA lax.top_k over it (that epilogue measured 191 µs vs 143 µs
         # for the whole kernel at 1M/B=8/nprobe=32)
         cand_d, cand_rows, drop_min = ivf_probe_topc_rankmajor(
-            q, start_rows, live_rows, vecs, sqn,
+            q, start_rows, live_rows, vecs, sqn_rm,
             nprobe=nprobe, probe_cap=probe_cap, metric=metric,
             interpret=interpret,
         )  # [B, 3·CBINS]

@@ -103,17 +103,27 @@ class ShardedFlatIndex(FlatIndex):
         return fn
 
     def batch_search(
-        self, queries, k: int, filter: Optional[FilterFn] = None
+        self,
+        queries,
+        k: int,
+        filter: Optional[FilterFn] = None,
+        *,
+        allow_ids=None,
+        deny_ids=None,
     ) -> list[list[SearchResult]]:
+        """allow_ids / deny_ids fold into the sharded scan's validity mask
+        BEFORE the per-shard top-k + ICI merge (same pre-selection contract
+        as the single-chip path, reference IDFilter.swift:104)."""
         q = np.asarray(queries, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]
         if self.count == 0 or k <= 0:
             return [[] for _ in range(q.shape[0])]
         vecs, sqn, inv, valid = self._sync_device()
-        if filter is not None:
+        if filter is not None or allow_ids is not None or deny_ids is not None:
             valid = jax.device_put(
-                jnp.asarray(self._filter_valid(filter)), corpus_sharding(self.mesh)
+                jnp.asarray(self._filter_valid(filter, allow_ids, deny_ids)),
+                corpus_sharding(self.mesh),
             )
         kk = min(k, self.capacity)
         dist, ids = self._search_fn(kk)(jnp.asarray(q), vecs, valid, sqn, inv)
@@ -255,10 +265,18 @@ class ShardedHNSWIndex(VectorIndex):
         )
         self._built_rows = len(self._ids)
 
-    def batch_search(self, queries, k: int, filter=None):
+    def batch_search(self, queries, k: int, filter=None, *,
+                     allow_ids=None, deny_ids=None):
+        """allow_ids / deny_ids: external-id set filters. The sharded graph
+        over-fetches ef >= 4k candidates per query (plus the exactly-scanned
+        tail buffer), and the sets mask during assembly — selective filters
+        beyond ~75% should raise ef_search (the single-chip HNSW routes
+        small allow-sets through an exact gather-scan instead)."""
         from vectorindex_tpu.parallel.sharded_hnsw import sharded_hnsw_search
         from vectorindex_tpu.utils.errors import dimension_mismatch
 
+        allow_set = None if allow_ids is None else set(allow_ids)
+        deny_set = None if deny_ids is None else set(deny_ids)
         q = np.asarray(queries, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]
@@ -325,6 +343,11 @@ class ShardedHNSWIndex(VectorIndex):
                 r = int(cand_rows[b, j])
                 if r in self._dead:
                     continue
+                ext = self._ids[r]
+                if allow_set is not None and ext not in allow_set:
+                    continue
+                if deny_set is not None and ext in deny_set:
+                    continue
                 meta = self._metadata[r]
                 if filter is not None and not filter(meta):
                     continue
@@ -332,15 +355,19 @@ class ShardedHNSWIndex(VectorIndex):
                 if self.metric != Metric.L2:
                     val = -val  # public IP/cosine scores are higher-better
                 row.append(
-                    SearchResult(id=self._ids[r], score=val, metadata=meta)
+                    SearchResult(id=ext, score=val, metadata=meta)
                 )
                 if len(row) == k:
                     break
             out.append(row)
         return out
 
-    def search(self, query, k: int, filter=None):
-        return self.batch_search(np.asarray(query)[None, :], k, filter)[0]
+    def search(self, query, k: int, filter=None, *,
+               allow_ids=None, deny_ids=None):
+        return self.batch_search(
+            np.asarray(query)[None, :], k, filter,
+            allow_ids=allow_ids, deny_ids=deny_ids,
+        )[0]
 
     def statistics(self) -> IndexStats:
         self._ensure_built()

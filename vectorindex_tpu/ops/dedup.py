@@ -84,6 +84,26 @@ def visited_test_and_mark(bits: Array, ids: Array) -> Tuple[Array, Array]:
 
 
 @jax.jit
+def dedup_mask(ids: Array, missing: Array) -> Array:
+    """Position-preserving dedup: returns `missing` with all-but-the-first
+    occurrence of each id additionally marked (reference dedupInPlace
+    contract, CandidateDedup.swift:741, keeping output slots aligned with
+    their companion arrays — the PQ probe epilogue's rows/dists stay
+    index-matched). Candidates arrive rank-ordered and jnp.argsort is
+    stable, so the surviving copy is deterministically the best-ranked one.
+    Used by kernels/adc_probe under spill multi-assignment
+    (ops.ivf.spill_assign), where a corpus row occupies one CSR slot per
+    list it spilled into."""
+    order = jnp.argsort(ids, axis=1)
+    sid = jnp.take_along_axis(ids, order, axis=1)
+    dup_sorted = jnp.concatenate(
+        [jnp.zeros((ids.shape[0], 1), bool), sid[:, 1:] == sid[:, :-1]],
+        axis=1,
+    )
+    inv = jnp.argsort(order, axis=1)
+    return missing | jnp.take_along_axis(dup_sorted, inv, axis=1)
+
+
 def dedup_candidates(dists: Array, ids: Array) -> Tuple[Array, Array]:
     """Batch dedupInPlace (reference :741): sort candidate lists by (id),
     blank duplicate ids to (+inf, INVALID_ID), then restore (dist, id)

@@ -73,6 +73,63 @@ def ivf_select(
     return topk(dist, min(nprobe, centroids.shape[0]), strict_ties=True)
 
 
+def spill_assign(
+    x,
+    centroids,
+    *,
+    eps: float = 0.2,
+    chunk: int = 131072,
+    max_spill: int = 2,
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Boundary multi-assignment ("list spill"): rows whose second-nearest
+    centroid is nearly as close as their first get encoded into BOTH lists.
+
+    Returns (src [n_exp] i32, assign [n_exp] i32, spill_frac): row j of the
+    expanded corpus is x[src[j]] assigned to list assign[j]; the first n
+    entries are the primary assignment in corpus order, spilled copies
+    follow. A row spills when d2 <= (1+eps)·d1 (squared L2), the classic
+    boundary criterion: queries landing between two clusters find their
+    neighbors even when only one of the two lists is probed, lifting the
+    nprobe-routing recall ceiling without raising nprobe (the grid-step
+    cost of the probe kernels scales with nprobe, not rows, so spilling is
+    the cheap direction on TPU). The reference has no multi-assignment —
+    its recall knob is nprobe alone (IVFSelect.swift:78); this is the
+    TPU-native extension the crossover analysis (docs/ROUND3_NOTES.md §5b)
+    called for. Search paths must dedup candidate ids (spilled copies share
+    their internal id — kernels/adc_probe dedup flag).
+
+    Top-2 distances are computed on device in row chunks ([chunk, kc]
+    blocks), same memory discipline as bench/synth.trained_quantizer.
+    max_spill is fixed at 2 (primary + one spill) — the measured recall
+    gain of a third copy is marginal while memory grows linearly."""
+    assert max_spill == 2, "only primary + one spill copy is supported"
+    n = x.shape[0]
+    cent_dev = jnp.asarray(centroids)
+
+    @jax.jit
+    def top2(xc):
+        d = scoring.l2sqr_block(xc, cent_dev)
+        negd, ids = jax.lax.top_k(-d, 2)
+        return -negd, ids
+
+    a1 = np.empty(n, np.int32)
+    a2 = np.empty(n, np.int32)
+    d1 = np.empty(n, np.float32)
+    d2 = np.empty(n, np.float32)
+    for s in range(0, n, chunk):
+        dd, ii = top2(jnp.asarray(x[s : s + chunk]))
+        dd, ii = np.asarray(dd), np.asarray(ii)
+        a1[s : s + chunk] = ii[:, 0]
+        a2[s : s + chunk] = ii[:, 1]
+        d1[s : s + chunk] = dd[:, 0]
+        d2[s : s + chunk] = dd[:, 1]
+    spill = d2 <= (1.0 + eps) * np.maximum(d1, 1e-30)
+    idx = np.flatnonzero(spill).astype(np.int32)
+    src = np.concatenate([np.arange(n, dtype=np.int32), idx])
+    assign = np.concatenate([a1, a2[idx]])
+    return src, assign, float(idx.size) / max(n, 1)
+
+
 # ---------------------------------------------------------------------------
 # #30 — CSR list storage (host control plane / device data plane)
 # ---------------------------------------------------------------------------

@@ -74,6 +74,61 @@ class CallbackReader:
         return np.asarray(self.fn(rows), dtype=np.float32)
 
 
+def rerank_gathered_host(
+    q: np.ndarray,  # [B, d] f32
+    xg: np.ndarray,  # [B, C, d] f32 gathered candidate vectors
+    iids: np.ndarray,  # [B, C] i32 internal ids (INVALID_ID dead)
+    *,
+    k: int,
+    metric: Metric,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """HOST (numpy) exact rerank — same contract as rerank_gathered but the
+    arithmetic never leaves the CPU, exactly like the reference's rerank
+    stage (ExactRerank.swift:655 runs on host cores beside the gather).
+
+    This is the production shape of the host-memory capacity tier: the
+    gathered rows are ALREADY in host RAM, so shipping them to the device
+    just to multiply a [B,C,d] block pays PCIe both ways for ~25 MFLOP of
+    work (B=64, C=1024, d=96). Round 3 measured that round-trip at 25
+    MB/batch — the whole e2e gap between 67 QPS and the 5.6k QPS device
+    candidate stage. Host rerank sends NOTHING back to the device: only
+    candidate row indices come down (B·C·8 bytes), results stay on host.
+    Missing candidates keep (+inf, INVALID_ID) and sort last; ties break
+    strictly by (score, id) — the TopK.swift:8-30 contract."""
+    q = np.asarray(q, np.float32)
+    b, c, d = xg.shape
+    if q.shape[1] != d:  # lane-padded gather source
+        q = np.pad(q, ((0, 0), (0, d - q.shape[1])))
+    missing = iids == INVALID_ID
+    g = np.einsum("bd,bcd->bc", q, xg, dtype=np.float32)
+    if metric == Metric.L2:
+        qn = np.einsum("bd,bd->b", q, q, dtype=np.float32)
+        sg = np.einsum("bcd,bcd->bc", xg, xg, dtype=np.float32)
+        ex = np.maximum(qn[:, None] + sg - 2.0 * g, 0.0)
+    elif metric == Metric.INNER_PRODUCT:
+        ex = -g
+    else:  # COSINE
+        qn = np.sqrt(np.maximum(np.einsum("bd,bd->b", q, q), 1e-30))
+        xn = np.sqrt(np.maximum(np.einsum("bcd,bcd->bc", xg, xg), 1e-30))
+        ex = 1.0 - g / (qn[:, None] * xn)
+    ex = np.where(missing, np.float32(np.inf), ex).astype(np.float32)
+    ii = np.where(missing, INVALID_ID, iids)
+    kk = min(k, c)
+    # strict (score, id): lexsort's primary key is the LAST array
+    order = np.lexsort((ii, ex), axis=1)[:, :kk]
+    sd = np.take_along_axis(ex, order, axis=1)
+    si = np.take_along_axis(ii, order, axis=1)
+    si = np.where(np.isfinite(sd), si, INVALID_ID)
+    if kk < k:
+        sd = np.concatenate(
+            [sd, np.full((b, k - kk), np.inf, np.float32)], axis=1
+        )
+        si = np.concatenate(
+            [si, np.full((b, k - kk), INVALID_ID, si.dtype)], axis=1
+        )
+    return sd, si
+
+
 @partial(jax.jit, static_argnames=("k", "metric"))
 def rerank_gathered(
     q: Array,  # [B, d] f32

@@ -78,6 +78,12 @@ def save_flat_container(idx, path: str) -> None:
         c.add_array(
             SectionType.TOMBSTONES, idx._valid[:n].astype(np.uint8)
         )
+        # persisted norm cache (reference NormCacheHeader, Norms.swift:244):
+        # loaders pre-warm the device mirror from it instead of recomputing
+        sqn = np.einsum(
+            "nd,nd->n", idx._vectors[:n], idx._vectors[:n], dtype=np.float32
+        )
+        c.add_array(SectionType.NORMS_SQ, sqn)
         c.add_blob(SectionType.IDMAP, idx._idmap.to_blob())
         c.add_blob(SectionType.TELEMETRY, _metadata_blob(idx._metadata, n))
 
@@ -105,6 +111,25 @@ def load_flat_container(path: str):
             idx._metadata[i] = m
         idx._next_slot = n
         idx._free = list(meta["free"])
+        # pre-warm the device mirror from the persisted norm cache
+        # (NormCacheHeader parity): load→serve skips the O(n·d) recompute.
+        # Any later mutation clears _dev and recomputes — no staleness path.
+        if n and c.find(SectionType.NORMS_SQ) >= 0:
+            import jax
+            import jax.numpy as jnp
+
+            # capacity is pow2-rounded past n; the pad rows are zero
+            # vectors, whose norms are exactly 0 (matches a recompute).
+            # np.array (not asarray): the section view aliases the mapping,
+            # which closes with the container — a real copy is required.
+            sqn_h = np.zeros(idx.capacity, np.float32)
+            sqn_h[:n] = np.array(c.read_array(SectionType.NORMS_SQ))
+            vecs_d = jnp.asarray(idx._vectors, dtype=idx.storage_dtype)
+            sqn_d = jnp.asarray(sqn_h)
+            inv_d = jnp.where(
+                sqn_d > 0, jax.lax.rsqrt(jnp.maximum(sqn_d, 1e-30)), 0.0
+            )
+            idx._dev = (vecs_d, sqn_d, inv_d, jnp.asarray(idx._valid))
         return idx
 
 
