@@ -206,3 +206,85 @@ def test_spill_search_without_dedup_wastes_slots():
         assert len(live) == len(set(live.tolist()))
     if not any_dup:
         pytest.skip("no duplicate surfaced at toy scale (dedup still verified)")
+
+
+class TestIVFPQIndexSpill:
+    """Model-level spill (IVFPQConfig.spill_eps): the framework feature, not
+    just the bench path — optimize/insert/remove/update maintain spill
+    copies, every search backend dedups."""
+
+    def _index(self, n=3000, d=32, nlist=16, eps=0.4):
+        from vectorindex_tpu.models.ivf import IVFPQConfig, IVFPQIndex
+
+        x, W = lowdim_corpus(n, d, dz=8, seed=21)
+        idx = IVFPQIndex(
+            d, Metric.L2,
+            IVFPQConfig(nlist=nlist, nprobe=4, m=4, ks=16, rerank=True,
+                        rerank_c=64, spill_eps=eps),
+        )
+        idx.insert_batch(list(range(n)), x)
+        idx.optimize()
+        return idx, x, W
+
+    def test_spill_copies_exist_and_search_dedups(self):
+        idx, x, W = self._index()
+        assert len(idx._slot_spill) > 0
+        stats = idx._store.list_stats()
+        assert stats["total"] == idx.count + len(idx._slot_spill)
+        qs = lowdim_queries(W, 16, seed=3)
+        res = idx.batch_search(qs, 10)
+        for row in res:
+            ids = [r.id for r in row]
+            assert len(ids) == len(set(ids)) == 10
+
+    def test_spill_recall_not_worse_than_plain(self):
+        from vectorindex_tpu.models.ivf import IVFPQConfig, IVFPQIndex
+
+        n, d, nlist = 4000, 32, 16
+        x, W = lowdim_corpus(n, d, dz=8, seed=22)
+        qs = lowdim_queries(W, 48, seed=5)
+        truth = exact_truth(qs, x, 10)
+
+        def run(eps):
+            idx = IVFPQIndex(
+                d, Metric.L2,
+                IVFPQConfig(nlist=nlist, nprobe=2, m=4, ks=16,
+                            rerank=True, rerank_c=64, spill_eps=eps),
+            )
+            idx.insert_batch(list(range(n)), x)
+            idx.optimize()
+            found = np.full((48, 10), -1, np.int64)
+            for i, row in enumerate(idx.batch_search(qs, 10)):
+                for j, r in enumerate(row):
+                    found[i, j] = int(r.id)
+            return recall_at_k(found, truth)
+
+        assert run(0.4) >= run(0.0)
+
+    def test_spill_crud_maintains_copies(self):
+        idx, x, _ = self._index(n=1500)
+        spilled = [s for s in idx._slot_spill][:3]
+        assert spilled
+        total0 = idx._store.list_stats()["total"]
+        ext = idx._idmap.external_for(spilled[0])
+        idx.remove(ext)
+        assert spilled[0] not in idx._slot_spill
+        assert idx._store.list_stats()["total"] <= total0 - 2  # both copies
+        # trickle insert after training gets a spill copy when boundary
+        before = len(idx._slot_spill)
+        idx.insert_batch([10_000 + i for i in range(64)],
+                         x[:64] + np.float32(1e-3))
+        assert idx._store.list_stats()["total"] >= total0 - 2 + 64
+        res = idx.search(x[5] + np.float32(1e-3), 5)
+        assert len(res) == 5
+
+    def test_spill_durable_rejected(self):
+        import pytest as _pytest
+
+        from vectorindex_tpu.models.ivf import IVFPQConfig, IVFPQIndex
+        from vectorindex_tpu.utils.errors import IndexError as VIndexError
+
+        idx, x, _ = self._index(n=1000)
+        idx._durable = object()  # simulate enabled journal
+        with _pytest.raises(VIndexError):
+            idx.insert(99999, x[0])

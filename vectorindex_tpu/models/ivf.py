@@ -20,6 +20,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,7 +37,7 @@ from vectorindex_tpu.ops import rng as vrng
 from vectorindex_tpu.ops.idmap import IDMap
 from vectorindex_tpu.ops.ivf import IVFListStore, ivf_search_flat, probe_cap_for
 from vectorindex_tpu.ops.scan import scan_topk_strict
-from vectorindex_tpu.ops.topk import INVALID_ID
+from vectorindex_tpu.ops.topk import INVALID_DIST, INVALID_ID
 from vectorindex_tpu.persistence.json_snapshot import (
     PersistedIndex,
     PersistedRecord,
@@ -675,6 +676,15 @@ class IVFPQConfig(IVFConfig):
     # top-C winners per query cross PCIe for the exact rerank — per-chip
     # capacity is bounded by the code arrays, not the corpus
     host_rerank: bool = False
+    # boundary multi-assignment ("list spill", ops.ivf.spill_assign): rows
+    # whose 2nd-nearest centroid is within (1+eps)·d1 are ALSO encoded into
+    # that list, lifting the nprobe-routing recall ceiling at fixed probe
+    # cost (kernel work scales with nprobe, not rows). 0.0 = off. Search
+    # dedups duplicate-id candidates (kernel #32 contract). Memory grows by
+    # the spill fraction (~0.3-0.7 of code bytes at eps 0.1-0.2 on
+    # low-intrinsic-dim corpora). The reference's only recall knob is
+    # nprobe (IVFSelect.swift:78); this is the TPU-native extension.
+    spill_eps: float = 0.0
 
 
 class IVFPQIndex(IVFIndex):
@@ -716,15 +726,105 @@ class IVFPQIndex(IVFIndex):
         super().__init__(dimension, metric, config, storage_dtype)
         self._books = None  # PQCodebooks
         self._pq_cache = None  # (store_version, codes_dev, slot_rows_dev)
+        self._slot_spill: dict[int, int] = {}  # slot -> spill list id
 
     @property
     def pq_trained(self) -> bool:
         return self._books is not None
 
+    @property
+    def _spill(self) -> bool:
+        return getattr(self.config, "spill_eps", 0.0) > 0.0
+
+    def _spill_secondary(self, vecs: np.ndarray) -> np.ndarray:
+        """Per row: the 2nd-nearest list when it meets the boundary
+        criterion d2 <= (1+spill_eps)·d1, else -1 (ops.ivf.spill_assign
+        semantics, computed for incremental row blocks)."""
+        from vectorindex_tpu.ops import scoring
+
+        d = scoring.l2sqr_block(
+            jnp.asarray(vecs), jnp.asarray(self._centroids)
+        )
+        negd, ids = jax.lax.top_k(-d, 2)
+        dd, ii = np.asarray(-negd), np.asarray(ids)
+        ok = dd[:, 1] <= (1.0 + self.config.spill_eps) * np.maximum(
+            dd[:, 0], 1e-30
+        )
+        return np.where(ok, ii[:, 1], -1).astype(np.int64)
+
+    def _append_spill(self, slots, vecs: np.ndarray) -> None:
+        """Append spill copies for the given rows (post-primary-append)."""
+        if not (self._spill and self.trained):
+            return
+        vecs = np.atleast_2d(vecs)
+        sec = self._spill_secondary(vecs)
+        for i, s in enumerate(np.atleast_1d(slots)):
+            if sec[i] >= 0:
+                self._store.append(int(sec[i]), int(s), vecs[i])
+                self._slot_spill[int(s)] = int(sec[i])
+
+    def _drop_spill(self, slot: int) -> None:
+        lst = self._slot_spill.pop(slot, None)
+        if lst is not None:
+            self._store.remove(lst, slot)
+
+    def insert(self, id, vector, metadata=None) -> None:
+        if self._spill and getattr(self, "_durable", None) is not None:
+            raise (
+                ErrorBuilder(IndexErrorKind.INVALID_CONFIGURATION)
+                .message("spill_eps with durable journaling is unsupported")
+                .build()
+            )
+        super().insert(id, vector, metadata)
+        if self._spill and self.trained:
+            slot = self._idmap.lookup(id)
+            self._append_spill([slot], self._vectors[slot][None, :])
+
+    def insert_batch(self, ids, vectors, metadatas=None) -> None:
+        if self._spill and getattr(self, "_durable", None) is not None:
+            raise (
+                ErrorBuilder(IndexErrorKind.INVALID_CONFIGURATION)
+                .message("spill_eps with durable journaling is unsupported")
+                .build()
+            )
+        super().insert_batch(ids, vectors, metadatas)
+        if self._spill and self.trained:
+            slots = [self._idmap.lookup(i) for i in ids]
+            self._append_spill(
+                slots, np.asarray(vectors, dtype=np.float32)
+            )
+
+    def remove(self, id) -> None:
+        slot = self._idmap.lookup(id)
+        self._drop_spill(slot)
+        super().remove(id)
+
+    def update(self, id, vector=None, metadata=None) -> None:
+        if vector is not None:
+            self._drop_spill(self._idmap.lookup(id))
+        super().update(id, vector, metadata)
+        if vector is not None and self._spill and self.trained:
+            slot = self._idmap.lookup(id)
+            self._append_spill([slot], self._vectors[slot][None, :])
+
+    def _respill_all(self, chunk: int = 131072) -> None:
+        """Rebuild every spill copy against the CURRENT centroids (after
+        optimize/refresh repacked the store with primary assignments)."""
+        self._slot_spill.clear()
+        if not (self._spill and self.trained and self.count):
+            return
+        slots = sorted(self._vectors.keys())
+        for s in range(0, len(slots), chunk):
+            blk = slots[s : s + chunk]
+            self._append_spill(
+                blk, np.stack([self._vectors[sl] for sl in blk])
+            )
+
     def optimize(self) -> None:
         """Coarse k-means + residual PQ training + encode (reference
         optimize + pq_train_f32 residual mode)."""
         super().optimize()
+        self._respill_all()
         if not self.trained or self.count == 0:
             return
         slots = sorted(self._vectors.keys())
@@ -745,6 +845,12 @@ class IVFPQIndex(IVFIndex):
             iters=self.config.pq_iters,
         )
         self._pq_cache = None
+
+    def refresh_quantizer(self, iters: int = 5, sample: int = 262144,
+                          chunk: int = 131072) -> dict:
+        out = super().refresh_quantizer(iters=iters, sample=sample, chunk=chunk)
+        self._respill_all()
+        return out
 
     def _encode_rows(self, vecs_f32, row_list):
         """Residual-encode a row block → (codes, tcorr). Codes pack to u4 at
@@ -967,7 +1073,7 @@ class IVFPQIndex(IVFIndex):
                     qd, jnp.asarray(self._centroids), arrays, codes, tcorr,
                     self._books, reader, nprobe=nprobe, probe_cap=cap, k=kk,
                     rerank_c=self.config.rerank_c, metric=self.metric,
-                    packed_u4=self.config.ks <= 16,
+                    packed_u4=self.config.ks <= 16, dedup=self._spill,
                     row_allow=row_allow, disabled_lists=disabled,
                 )
                 # mirror the wrapper's effective C (it widens rerank_c to
@@ -987,6 +1093,12 @@ class IVFPQIndex(IVFIndex):
                     metric=self.metric, packed_u4=self.config.ks <= 16,
                     row_allow=row_allow, disabled_lists=disabled,
                 )
+                if self._spill:
+                    from vectorindex_tpu.ops.dedup import dedup_mask
+
+                    miss = dedup_mask(cand, cand == INVALID_ID)
+                    cand = jnp.where(miss, INVALID_ID, cand)
+                    cd = jnp.where(miss, INVALID_DIST, cd)
                 cand_np = np.asarray(cand)
                 rows_np = np.asarray(slot_rows)[
                     np.where(cand_np == INVALID_ID, 0, cand_np)
@@ -1020,6 +1132,7 @@ class IVFPQIndex(IVFIndex):
                 metric=self.metric,
                 packed_u4=self.config.ks <= 16,
                 rerank_c=(self.config.rerank_c if self.config.rerank else 0),
+                dedup=self._spill,
                 row_allow=row_allow,
                 disabled_lists=disabled,
             )
@@ -1042,6 +1155,12 @@ class IVFPQIndex(IVFIndex):
                 row_allow=row_allow,
                 disabled_lists=disabled,
             )
+            if self._spill:
+                from vectorindex_tpu.ops.dedup import dedup_mask
+
+                miss = dedup_mask(ids, ids == INVALID_ID)
+                ids = jnp.where(miss, INVALID_ID, ids)
+                dist = jnp.where(miss, INVALID_DIST, dist)
             if self.config.rerank:
                 dist, ids = rerank_rows(
                     jnp.asarray(q),
