@@ -92,6 +92,61 @@ def test_select_neighbors_diverse_prefers_spread():
     assert len(sel) == 3  # fill tops up to m
 
 
+def test_select_neighbors_diverse_matches_sequential_oracle():
+    # the m-step argmax(alive) formulation must reproduce the reference's
+    # sequential ef-walk (HNSWNeighborSelection.swift:132) EXACTLY: walk
+    # candidates ascending, keep c iff d(c,new) < min over selected s of
+    # d(c,s), stop at m; then fill remaining slots with nearest pruned
+    rng = np.random.default_rng(123)
+    c, ef, d, m = 7, 24, 8, 5
+    pts = rng.standard_normal((64, d)).astype(np.float32)
+    sqn = (pts**2).sum(1).astype(np.float32)
+    new_pts = rng.standard_normal((c, d)).astype(np.float32)
+    cand_i = np.stack(
+        [rng.choice(64, ef, replace=False) for _ in range(c)]
+    ).astype(np.int32)
+    cand_d = ((pts[cand_i] - new_pts[:, None]) ** 2).sum(-1).astype(np.float32)
+    order = np.argsort(cand_d, axis=1, kind="stable")
+    cand_d = np.take_along_axis(cand_d, order, axis=1)
+    cand_i = np.take_along_axis(cand_i, order, axis=1)
+    # pad a few invalid entries at the tail
+    cand_d[:, -3:] = np.inf
+    cand_i[:, -3:] = INVALID_ID
+
+    got = np.asarray(
+        gops.select_neighbors_diverse(
+            jnp.asarray(cand_d), jnp.asarray(cand_i), jnp.asarray(pts),
+            jnp.asarray(sqn), m=m,
+        )
+    )
+    for row in range(c):
+        sel: list[int] = []
+        for j in range(ef):
+            if cand_i[row, j] == INVALID_ID or len(sel) >= m:
+                continue
+            dmin = min(
+                (
+                    max(
+                        sqn[cand_i[row, j]] + sqn[s]
+                        - 2.0 * float(pts[cand_i[row, j]] @ pts[s]),
+                        0.0,
+                    )
+                    for s in sel
+                ),
+                default=np.inf,
+            )
+            if cand_d[row, j] < dmin:
+                sel.append(int(cand_i[row, j]))
+        # fill with nearest pruned (candidates are distance-sorted)
+        fill = [
+            int(v)
+            for v in cand_i[row]
+            if v != INVALID_ID and int(v) not in sel
+        ]
+        want = (sel + fill)[:m]
+        assert got[row].tolist() == want
+
+
 def test_prune_neighbors_respects_m():
     x = _data(20, 4, seed=4)
     lists = np.tile(np.arange(1, 11, dtype=np.int32), (2, 1))

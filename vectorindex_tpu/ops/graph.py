@@ -231,36 +231,40 @@ def select_neighbors_diverse(
     keep c iff d(c, new) < min_{s selected} d(c, s). Returns [C, m] global
     ids (INVALID_ID padded).
 
-    Batched formulation: precompute pairwise candidate-candidate distances
-    [C, ef, ef] (dense MXU block), then a fori over the ef candidates doing
-    masked updates — the loop is over candidates, not queries.
+    Batched formulation: at most m candidates are ever selected, and the
+    alive set (valid ∧ d_to_new < min_d_to_selected) only shrinks as
+    selections accumulate — so the next sequential selection is always the
+    lowest-rank alive candidate. A fori over m steps picking argmax(alive)
+    is exactly equivalent to the sequential ef-walk, ~ef/m× shorter, and
+    needs one [C, ef] distance block per step instead of the full
+    [C, ef, ef] pairwise tensor.
     """
     c, ef = cand_d.shape
     safe = jnp.maximum(cand_i, 0)
-    cv = vecs[safe]  # [C, ef, d]
-    csq = sqn[safe]
-    g = jnp.einsum(
-        "ced,cfd->cef",
-        cv.astype(jnp.float32),
-        cv.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
-    pair = jnp.maximum(csq[:, :, None] + csq[:, None, :] - 2.0 * g, 0.0)
+    cv = vecs[safe].astype(jnp.float32)  # [C, ef, d]
+    csq = sqn[safe].astype(jnp.float32)
     valid = cand_i != INVALID_ID
+    col = jax.lax.broadcasted_iota(jnp.int32, (c, ef), 1)
 
-    def body(j, state):
+    def body(t, state):
         selected, min_d_to_sel = state  # [C, ef] bool, [C, ef] f32
-        keep = valid[:, j] & (cand_d[:, j] < min_d_to_sel[:, j]) & (
-            jnp.sum(selected, axis=1) < m
+        alive = valid & (cand_d < min_d_to_sel)
+        any_alive = jnp.any(alive, axis=1)  # [C]
+        j = jnp.argmax(alive, axis=1)  # first alive = next sequential pick
+        selected = selected | (alive & (col == j[:, None]))
+        # distances from every candidate to the picked one (dot-trick)
+        vsel = jnp.take_along_axis(cv, j[:, None, None], axis=1)  # [C,1,d]
+        ssel = jnp.take_along_axis(csq, j[:, None], axis=1)  # [C,1]
+        dot = jnp.einsum(
+            "ced,cfd->ce", cv, vsel, preferred_element_type=jnp.float32
         )
-        selected = selected.at[:, j].set(keep)
-        # update running min distance-to-selected for all candidates
-        upd = jnp.where(keep[:, None], pair[:, :, j], INVALID_DIST)
-        return selected, jnp.minimum(min_d_to_sel, upd)
+        dsel = jnp.maximum(csq + ssel - 2.0 * dot, 0.0)
+        dsel = jnp.where(any_alive[:, None], dsel, INVALID_DIST)
+        return selected, jnp.minimum(min_d_to_sel, dsel)
 
     selected, _ = jax.lax.fori_loop(
         0,
-        ef,
+        min(m, ef),
         body,
         (jnp.zeros((c, ef), bool), jnp.full((c, ef), INVALID_DIST)),
     )
