@@ -27,6 +27,15 @@ ACC = defaultdict(float)
 CNT = defaultdict(int)
 
 
+def _force(out):
+    """True sync: under the axon tunnel block_until_ready returns before the
+    work is done — fetch a dependent scalar per array leaf instead (tiny
+    transfer, real completion wait)."""
+    for leaf in jax.tree.leaves(out):
+        if isinstance(leaf, jax.Array) and not isinstance(leaf, jax.core.Tracer):
+            np.asarray(leaf.ravel()[:1])
+
+
 def timed(name, fn, block=True):
     orig = fn
 
@@ -34,7 +43,7 @@ def timed(name, fn, block=True):
         t0 = time.perf_counter()
         out = orig(*a, **kw)
         if block:
-            jax.block_until_ready(out)
+            _force(out)
         ACC[name] += time.perf_counter() - t0
         CNT[name] += 1
         return out
