@@ -92,10 +92,12 @@ class _Level:
         row = len(self.node_ids)
         self.node_ids.append(slot)
         if row >= self.nbrs.shape[0]:
-            grow = max(64, self.nbrs.shape[0])
-            self.nbrs = np.vstack(
-                [self.nbrs, np.full((grow, self.max_degree), -1, dtype=np.int32)]
-            )
+            # always land on a pow2 backing: the device table shape is the
+            # backing shape, and every graph program recompiles when it moves
+            new_cap = max(64, 1 << row.bit_length())
+            grown = np.full((new_cap, self.max_degree), -1, dtype=np.int32)
+            grown[: self.nbrs.shape[0]] = self.nbrs
+            self.nbrs = grown
         return row
 
     @property
@@ -219,6 +221,7 @@ class HNSWIndex(VectorIndex):
         self._dev_layers = None  # list of (nbrs_dev, lookup_dev)
         self._dirty_rows0: set[int] = set()  # level-0 rows to patch on device
         self._dirty_lookup0: set[int] = set()  # slots whose L0 row changed
+        self._dirty_vecs: set[int] = set()  # slots whose graph vector changed
 
     # ------------------------------------------------------------------
     # storage
@@ -310,6 +313,7 @@ class HNSWIndex(VectorIndex):
         self._vectors[slot] = v
         self._ensure_r2(float(np.dot(v, v)))
         self._graph_vecs[slot] = self._to_graph_space(v)
+        self._dirty_vecs.add(slot)
         self._valid[slot] = True
         self._metadata[slot] = metadata
         self._idmap.append(id, slot)
@@ -332,7 +336,8 @@ class HNSWIndex(VectorIndex):
         self._metadata[slot] = None
         if slot in self._pending:
             self._pending.remove(slot)
-        self._dev = None
+        # graph vectors are untouched by a tombstone — only the allow mask
+        # changes, so the (vecs, sqn) device mirror stays warm
         self._dev_valid = None
 
     def update(self, id: VectorID, vector=None, metadata: Metadata = None) -> None:
@@ -353,7 +358,51 @@ class HNSWIndex(VectorIndex):
     # construction (batched chunks)
     # ------------------------------------------------------------------
 
+    # fixed scatter-group width: patch uploads run as K groups of this size
+    # so ONE compiled scatter program serves every chunk (data-dependent pow2
+    # buckets each cost a fresh ~1-2 s remote-compile retrieval — the round-4
+    # profiling found these dominate steady-state construction)
+    _PATCH_GROUP = 1024
+
+    @classmethod
+    def _patch_rows(cls, dev: jax.Array, idx: np.ndarray, host_rows: np.ndarray):
+        """Scatter host_rows[idx] into the device mirror in fixed-size groups
+        (duplicate indices within the padded tail are idempotent rewrites)."""
+        g = cls._PATCH_GROUP
+        for s in range(0, idx.size, g):
+            part = idx[s : s + g]
+            if part.size < g:
+                part = np.concatenate(
+                    [part, np.full(g - part.size, part[0], part.dtype)]
+                )
+            dev = dev.at[jnp.asarray(part.astype(np.int32))].set(
+                jnp.asarray(host_rows[part])
+            )
+        return dev
+
     def _sync_vec_device(self):
+        if self._dev is not None and self._dirty_vecs:
+            gv, sqn = self._dev
+            slots = np.fromiter(self._dirty_vecs, dtype=np.int64)
+            if (slots < gv.shape[0]).all():
+                # incremental patch: a full re-upload per stream flush is
+                # ~55 MB at 100k×128 (≈1.3 s over the tunnel); new rows are
+                # ~4 MB for an 8k stream
+                self._dirty_vecs.clear()
+                gv = self._patch_rows(gv, slots, self._graph_vecs)
+                if self.metric != Metric.INNER_PRODUCT:
+                    sqn_host = np.einsum(
+                        "nd,nd->n",
+                        self._graph_vecs,
+                        self._graph_vecs,
+                        dtype=np.float32,
+                    )
+                    sqn = self._patch_rows(sqn, slots, sqn_host)
+                # IP: sqn is the uniform virtual R² — new slots already carry
+                # it; growth is handled by _ensure_r2's full refresh
+                self._dev = (gv, sqn)
+            else:
+                self._dev = None  # backing grew: full resync
         if self._dev is None:
             gv = jnp.asarray(self._graph_vecs)
             if self.metric == Metric.INNER_PRODUCT:
@@ -370,6 +419,7 @@ class HNSWIndex(VectorIndex):
                     )
                 )
             self._dev = (gv, sqn)
+            self._dirty_vecs.clear()
         return self._dev
 
     def _sync_valid_device(self):
@@ -397,28 +447,16 @@ class HNSWIndex(VectorIndex):
                 self._dev_layers[0] = None  # backing grew: full resync
             else:
                 if rows.size:
-                    # pow2-pad the patch (duplicate rows are idempotent) so
-                    # the scatter compiles O(log) times, not per chunk
-                    target = 1 << (int(rows.size) - 1).bit_length()
-                    if target > rows.size:
-                        rows = np.concatenate(
-                            [rows, np.full(target - rows.size, rows[0], np.int32)]
-                        )
-                    nbrs_dev = nbrs_dev.at[jnp.asarray(rows)].set(
-                        jnp.asarray(layer.nbrs[rows])
-                    )
+                    # fixed-group scatter (duplicate rows are idempotent):
+                    # one compiled program serves every chunk
+                    nbrs_dev = self._patch_rows(nbrs_dev, rows, layer.nbrs)
                 if self._dirty_lookup0:
                     # incremental lookup patch: only freshly-registered slots
                     # change (a full [cap] re-upload per chunk is 4 MB at 1M)
                     ls = np.fromiter(self._dirty_lookup0, dtype=np.int32)
                     if (ls < lookup_dev.shape[0]).all():
-                        target = 1 << (int(ls.size) - 1).bit_length()
-                        if target > ls.size:
-                            ls = np.concatenate(
-                                [ls, np.full(target - ls.size, ls[0], np.int32)]
-                            )
-                        lookup_dev = lookup_dev.at[jnp.asarray(ls)].set(
-                            jnp.asarray(self._lookup0[ls])
+                        lookup_dev = self._patch_rows(
+                            lookup_dev, ls, self._lookup0
                         )
                     else:
                         lookup_dev = jnp.asarray(self._lookup0)
@@ -458,8 +496,7 @@ class HNSWIndex(VectorIndex):
         """Flush pending slots into the graph in batched chunks."""
         if not self._pending:
             return
-        self._dev = None
-        self._dev_valid = None
+        self._dev_valid = None  # vecs mirror patches incrementally
         pending = self._pending
         self._pending = []
         # doubling schedule: early chunks are small so every node sees a
@@ -583,7 +620,10 @@ class HNSWIndex(VectorIndex):
                 ).astype(np.float32)
             np.fill_diagonal(dcc, np.inf)
             n_int = min(cfg.m, b - 1)
-            order = np.argsort(dcc, axis=1)[:, :n_int]
+            part = np.argpartition(dcc, n_int - 1, axis=1)[:, :n_int]
+            pd = np.take_along_axis(dcc, part, axis=1)
+            o2 = np.argsort(pd, axis=1, kind="stable")
+            order = np.take_along_axis(part, o2, axis=1)
             int_ids[:b, :n_int] = np.asarray(slots, dtype=np.int32)[order]
             int_d[:b, :n_int] = np.take_along_axis(dcc, order, axis=1)
         all_d = jnp.concatenate([beam.dists, jnp.asarray(int_d)], axis=1)
@@ -832,7 +872,9 @@ class HNSWIndex(VectorIndex):
                 np.take_along_axis(d, order, axis=1) < np.inf, out, -1
             ).astype(np.int32)
         gv, sqn = self._sync_vec_device()
-        vp = 1 << (v - 1).bit_length()
+        # floor the pow2 bucket: overflow counts vary chunk-to-chunk and each
+        # distinct bucket is a fresh compiled program (~1-2 s retrieval)
+        vp = max(1 << (v - 1).bit_length(), 2048)
         ids_p = np.concatenate(
             [base_slots, np.repeat(base_slots[-1:], vp - v)]
         ).astype(np.int32)
@@ -975,7 +1017,9 @@ class HNSWIndex(VectorIndex):
             cand_i = np.pad(
                 cand_i, ((0, 0), (0, padw)), constant_values=INVALID_ID
             )
-        gp = 1 << (g - 1).bit_length()
+        # floor: per-chunk upper-level member counts vary (~chunk/m ± noise);
+        # without a floor each pow2 size compiles its own select program
+        gp = max(1 << (g - 1).bit_length(), 128)
         if gp > g:
             cand_d = np.concatenate(
                 [cand_d, np.repeat(cand_d[-1:], gp - g, axis=0)]

@@ -220,11 +220,13 @@ def load_hnsw_container(path: str):
             layer.node_ids = [int(s) for s in nodes]
             rows = len(layer.node_ids)
             nbrs = c.read_array(SectionType.GRAPH_NBRS, nth=li)
-            layer.nbrs = (
-                np.array(nbrs.reshape(rows, layer.max_degree), dtype=np.int32)
-                if rows
-                else np.full((0, layer.max_degree), -1, np.int32)
-            )
+            # pow2-pad the backing: sized-to-rows backing grows (doubles) on
+            # the FIRST post-load insert, changing the device table shape and
+            # recompiling every graph program mid-stream
+            bcap = _next_pow2(rows) if rows else 0
+            layer.nbrs = np.full((bcap, layer.max_degree), -1, np.int32)
+            if rows:
+                layer.nbrs[:rows] = nbrs.reshape(rows, layer.max_degree)
             if li == 0 and rows:
                 idx._lookup0[nodes.astype(np.int64)] = np.arange(
                     rows, dtype=np.int32
