@@ -1115,7 +1115,7 @@ def bench_hostpq(
         "host_bytes_per_row": 4 * d,
         "rerank_stage": "host",
         "corpus_prefault_s": round(t_prefault, 1),
-        "pcie_bytes_per_batch": b * c * 8,  # candidate rows+ids down; the
+        "pcie_bytes_per_batch": b * c * 4,  # candidate ids down; the
         # gathered vectors rerank in host RAM and never cross back
         "build_s": round(t_build, 1),
         "build_cached": was_cached,

@@ -432,3 +432,69 @@ def test_hostrerank_pipeline_stream_matches_per_call():
         np.testing.assert_allclose(
             np.asarray(sd_s), np.asarray(sd_p), rtol=1e-6, atol=1e-6
         )
+
+
+def test_hostrerank_csrreader_gather_ids_matches_rows_path():
+    """CSRReader.gather_ids (id-keyed gather: ONE [B,C] array crosses the
+    link per batch) must produce exactly what the rows-keyed reader path
+    produces — per call and through the pipelined stream."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vectorindex_tpu.kernels.adc_probe import (
+        ivf_search_pq_hostrerank,
+        ivf_search_pq_hostrerank_stream,
+    )
+    from vectorindex_tpu.models.ivf import IVFPQConfig, IVFPQIndex
+    from vectorindex_tpu.ops.ivf import probe_cap_for
+    from vectorindex_tpu.ops.rerank import CSRReader
+    from vectorindex_tpu.utils.config import Metric
+
+    rng = np.random.default_rng(31)
+    n, d = 1500, 32
+    x = rng.standard_normal((n, d)).astype(np.float32) * 0.1
+    x[:, :4] += rng.standard_normal((n, 4)) * 2
+    idx = IVFPQIndex(
+        d, Metric.L2,
+        IVFPQConfig(nlist=8, nprobe=8, m=4, ks=256, rerank=True,
+                    rerank_c=48, host_rerank=True),
+    )
+    idx.insert_batch(list(range(n)), x)
+    idx.optimize()
+    arrays, codes, tcorr, _ = idx._sync_pq()
+    cap = probe_cap_for(idx._store.max_length)
+    cent = jnp.asarray(idx._centroids)
+    # id-keyed reader over the ORIGINAL-order corpus (iids are dense
+    # internal ids == x rows for this insert order)
+    reader_ids = CSRReader(x, np.asarray(arrays.row_ids))
+    assert hasattr(reader_ids, "gather_ids")
+    reader_rows = idx._host_reader()  # ArrayReader: rows-keyed fallback
+    kw = dict(nprobe=8, probe_cap=cap, k=5, rerank_c=48,
+              metric=Metric.L2, interpret=True)
+    q = x[rng.choice(n, 4, replace=False)] + 0.01 * rng.standard_normal(
+        (4, d)
+    ).astype(np.float32)
+    sd_a, si_a = ivf_search_pq_hostrerank(
+        jnp.asarray(q), cent, arrays, codes, tcorr, idx._books,
+        reader_ids, **kw
+    )
+    sd_b, si_b = ivf_search_pq_hostrerank(
+        jnp.asarray(q), cent, arrays, codes, tcorr, idx._books,
+        reader_rows, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(si_a), np.asarray(si_b))
+    np.testing.assert_allclose(
+        np.asarray(sd_a), np.asarray(sd_b), rtol=1e-6, atol=1e-6
+    )
+    # stream through the id-keyed reader matches per-call
+    batches = [q, q[::-1].copy()]
+    got = list(
+        ivf_search_pq_hostrerank_stream(
+            batches, cent, arrays, codes, tcorr, idx._books, reader_ids,
+            **kw
+        )
+    )
+    np.testing.assert_array_equal(np.asarray(got[0][1]), np.asarray(si_a))
+    np.testing.assert_allclose(
+        np.asarray(got[0][0]), np.asarray(sd_a), rtol=1e-6, atol=1e-6
+    )

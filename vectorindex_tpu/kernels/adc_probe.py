@@ -712,6 +712,18 @@ def ivf_search_pq_hostrerank(
         packed_u4=packed_u4, row_allow=row_allow,
         disabled_lists=disabled_lists, dedup=dedup, interpret=interpret,
     )
+    if host_rerank and hasattr(reader, "gather_ids"):
+        # iids double as gather key and missing/dedup sentinel: ONE [B,C]
+        # i32 array crosses the link per batch instead of (rows, iids) —
+        # half the per-batch PCIe/relay bytes of the rows-keyed path
+        iids_np = np.asarray(iids)
+        g = reader.gather_ids(iids_np.reshape(-1))
+        if g.shape[-1] > d:
+            g = np.ascontiguousarray(g[:, :d])
+        xg = g.reshape(b, iids_np.shape[1], g.shape[-1])
+        return rerank_gathered_host(
+            np.asarray(q), xg, iids_np, k=k, metric=metric
+        )
     rows_np = np.asarray(rows)  # [B, c] device→host
     g = reader.gather(rows_np.reshape(-1))  # [B·c, d or d_pad] — a reader
     # may serve lane-padded rows (e.g. ArrayReader over packed storage);
@@ -760,15 +772,24 @@ def ivf_search_pq_hostrerank_stream(
     gatherTile/reorderBySegment).
 
     host_rerank=True (default) reranks on the CPU (rerank_gathered_host):
-    only the candidate row indices cross the link per batch (B·C·8 bytes),
+    only the candidate ids cross the link per batch (B·C·4 bytes via
+    reader.gather_ids; B·C·8 for rows-keyed readers without it),
     and results never touch the device — the production host-tier loop.
     The device-rerank mode additionally ships the B·C gathered rows back
     (B·C·d·4 bytes each way), which round 3 measured as the entire e2e
     gap under the axon tunnel. Yields (dist [B,k], ids [B,k]) per batch,
     in order."""
     from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
 
     from vectorindex_tpu.ops.rerank import rerank_gathered, rerank_gathered_host
+
+    use_ids = host_rerank and hasattr(reader, "gather_ids")
+    # one fetch worker: device→host transfers for batch i+1 overlap with
+    # batch i's host gather+rerank (the transfer is link-wait, not CPU, so
+    # the overlap is real even on a single-core host); order is preserved
+    # by the single worker + the pending deque
+    fetcher = ThreadPoolExecutor(max_workers=1)
 
     def dispatch(qb):
         qd = jnp.asarray(np.asarray(qb, dtype=np.float32))
@@ -782,27 +803,52 @@ def ivf_search_pq_hostrerank_stream(
             packed_u4=packed_u4, row_allow=row_allow,
             disabled_lists=disabled_lists, dedup=dedup, interpret=interpret,
         )
-        return qd, cd, rows, iids, d
+        if use_ids:
+            # iids alone key the gather (reader.gather_ids) AND carry the
+            # missing/dedup sentinel — one [B,C] i32 crosses the link
+            fut = fetcher.submit(np.asarray, iids)
+        elif host_rerank:
+            fut = fetcher.submit(
+                lambda r=rows, i=iids: (np.asarray(r), np.asarray(i))
+            )
+        else:
+            fut = fetcher.submit(np.asarray, rows)
+        return qd, cd, iids, fut, d
 
     def finish(pend):
-        qd, cd, rows, iids, d = pend
-        rows_np = np.asarray(rows)  # blocks on THIS batch only
+        qd, cd, iids, fut, d = pend
+        if use_ids:
+            iids_np = fut.result()  # blocks on THIS batch only
+            g = reader.gather_ids(iids_np.reshape(-1))
+            if g.shape[-1] > d:
+                g = np.ascontiguousarray(g[:, :d])
+            xg = g.reshape(qd.shape[0], iids_np.shape[1], g.shape[-1])
+            return rerank_gathered_host(
+                np.asarray(qd), xg, iids_np, k=k, metric=metric
+            )
+        if host_rerank:
+            rows_np, iids_np = fut.result()
+        else:
+            rows_np = fut.result()
         g = reader.gather(rows_np.reshape(-1))
         if g.shape[-1] > d:
             g = np.ascontiguousarray(g[:, :d])
         xg = g.reshape(qd.shape[0], rows_np.shape[1], g.shape[-1])
         if host_rerank:
             return rerank_gathered_host(
-                np.asarray(qd), xg, np.asarray(iids), k=k, metric=metric
+                np.asarray(qd), xg, iids_np, k=k, metric=metric
             )
         return rerank_gathered(
             qd, jnp.asarray(xg), cd, iids, k=k, metric=metric
         )
 
     pending = deque()
-    for qb in q_batches:
-        pending.append(dispatch(qb))  # enqueued async
-        if len(pending) > max(lookahead, 1):
+    try:
+        for qb in q_batches:
+            pending.append(dispatch(qb))  # enqueued async
+            if len(pending) > max(lookahead, 1):
+                yield finish(pending.popleft())
+        while pending:
             yield finish(pending.popleft())
-    while pending:
-        yield finish(pending.popleft())
+    finally:
+        fetcher.shutdown(wait=False)

@@ -62,6 +62,16 @@ class CSRReader:
         orig = self.row_ids[rows]
         return self.vecs[np.maximum(orig, 0)].astype(np.float32, copy=False)
 
+    def gather_ids(self, ids: np.ndarray) -> np.ndarray:
+        """Gather by ORIGINAL corpus id (what pq_probe_candidates returns as
+        `iids`) — the host-rerank serving loop then needs only ONE [B,C]
+        array off the device per batch instead of (rows, iids): ids double
+        as both the gather key and the dedup/missing sentinel carrier.
+        Out-of-range ids (INVALID_ID = i32 max, dead-slot -1) read row 0;
+        callers mask them by id sentinel as usual."""
+        safe = np.where((ids < 0) | (ids >= self.vecs.shape[0]), 0, ids)
+        return self.vecs[safe].astype(np.float32, copy=False)
+
 
 class CallbackReader:
     """Arbitrary gather callback — mmap'd files, remote storage, decoders
@@ -100,7 +110,10 @@ def rerank_gathered_host(
     if q.shape[1] != d:  # lane-padded gather source
         q = np.pad(q, ((0, 0), (0, d - q.shape[1])))
     missing = iids == INVALID_ID
-    g = np.einsum("bd,bcd->bc", q, xg, dtype=np.float32)
+    # batched BLAS gemv beats np.einsum's nditer loop ~4x at serving shapes
+    # ([64, 1024, 96]); the host tier's rerank arithmetic runs beside the
+    # gather on the same cores (reference ExactRerank.swift:655)
+    g = np.matmul(xg, q[:, :, None])[:, :, 0]
     if metric == Metric.L2:
         qn = np.einsum("bd,bd->b", q, q, dtype=np.float32)
         sg = np.einsum("bcd,bcd->bc", xg, xg, dtype=np.float32)
