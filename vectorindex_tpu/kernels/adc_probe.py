@@ -805,39 +805,45 @@ def ivf_search_pq_hostrerank_stream(
         )
         if use_ids:
             # iids alone key the gather (reader.gather_ids) AND carry the
-            # missing/dedup sentinel — one [B,C] i32 crosses the link
-            fut = fetcher.submit(np.asarray, iids)
+            # missing/dedup sentinel — one [B,C] i32 crosses the link. The
+            # worker also runs the host GATHER, so on multi-core hosts the
+            # 25 MB row copy for batch i+1 overlaps batch i's rerank
+            # (numpy releases the GIL in both).
+            def _fetch(i_dev=iids, dd=d):
+                iids_np = np.asarray(i_dev)
+                g = reader.gather_ids(iids_np.reshape(-1))
+                if g.shape[-1] > dd:
+                    g = np.ascontiguousarray(g[:, :dd])
+                return iids_np, g
+
+            fut = fetcher.submit(_fetch)
         elif host_rerank:
-            fut = fetcher.submit(
-                lambda r=rows, i=iids: (np.asarray(r), np.asarray(i))
-            )
+
+            def _fetch_rows(r_dev=rows, i_dev=iids, dd=d):
+                rows_np = np.asarray(r_dev)
+                g = reader.gather(rows_np.reshape(-1))
+                if g.shape[-1] > dd:
+                    g = np.ascontiguousarray(g[:, :dd])
+                return np.asarray(i_dev), g
+
+            fut = fetcher.submit(_fetch_rows)
         else:
             fut = fetcher.submit(np.asarray, rows)
         return qd, cd, iids, fut, d
 
     def finish(pend):
         qd, cd, iids, fut, d = pend
-        if use_ids:
-            iids_np = fut.result()  # blocks on THIS batch only
-            g = reader.gather_ids(iids_np.reshape(-1))
-            if g.shape[-1] > d:
-                g = np.ascontiguousarray(g[:, :d])
+        if host_rerank:
+            iids_np, g = fut.result()  # blocks on THIS batch only
             xg = g.reshape(qd.shape[0], iids_np.shape[1], g.shape[-1])
             return rerank_gathered_host(
                 np.asarray(qd), xg, iids_np, k=k, metric=metric
             )
-        if host_rerank:
-            rows_np, iids_np = fut.result()
-        else:
-            rows_np = fut.result()
+        rows_np = fut.result()
         g = reader.gather(rows_np.reshape(-1))
         if g.shape[-1] > d:
             g = np.ascontiguousarray(g[:, :d])
         xg = g.reshape(qd.shape[0], rows_np.shape[1], g.shape[-1])
-        if host_rerank:
-            return rerank_gathered_host(
-                np.asarray(qd), xg, iids_np, k=k, metric=metric
-            )
         return rerank_gathered(
             qd, jnp.asarray(xg), cd, iids, k=k, metric=metric
         )
