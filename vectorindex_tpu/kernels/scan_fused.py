@@ -34,7 +34,6 @@ passes sit near the compute/bandwidth roofline.
 
 from __future__ import annotations
 
-import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -115,7 +114,15 @@ def _candidates_kernel(q_ref, x_ref, bias_ref, *rest, metric: Metric, tb: int):
 def _reduce_tile(dist, base, tb, d1_ref, i1_ref, d2_ref, i2_ref, d3_ref, i3_ref):
     """Fold one tile's [tb, TILE] distances into the running three-tier
     per-class state (see _candidates_kernel docstring). `base` is the
-    tile's first corpus row (may be a traced scalar)."""
+    tile's first corpus row (may be a traced scalar).
+
+    NOTE (round 4): a software-pipelined variant that scored tile i on the
+    MXU into a parity VMEM scratch slot while folding tile i-1 on the VPU
+    was built and A/B'd on the real chip — it measured 3.6x SLOWER (2.21 vs
+    0.61 ms pass-1 at B=256/n=1M/d=128): the full-tile scratch store+load
+    round-trip costs far more VMEM bandwidth than the MXU/VPU overlap
+    recovers, and Mosaic already co-schedules the two units within a step.
+    The serial form below is the measured optimum; don't re-add scratch."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (tb, C), 1)
     # two smallest per class within the tile (exact sorted-2 insertion)
     tm1 = dist[:, :C]
@@ -154,53 +161,6 @@ def _reduce_tile(dist, base, tb, d1_ref, i1_ref, d2_ref, i2_ref, d3_ref, i3_ref)
     d3_ref[:], i3_ref[:] = m3, id3
 
 
-def _candidates_kernel_pipe(q_ref, x_ref, bias_ref, *rest, metric: Metric, tb: int):
-    """Software-pipelined variant of _candidates_kernel: step i scores tile
-    i on the MXU into a parity scratch slot and folds tile i-1's scores
-    (from the other slot) on the VPU — the two stages have no data
-    dependency, so the scheduler can overlap MXU and VPU instead of
-    serializing matmul → reduction within every step. The final step folds
-    its own tile too (its scores are still live in registers/scratch)."""
-    cs_ref = rest[0] if metric == Metric.COSINE else None
-    d1_ref, i1_ref, d2_ref, i2_ref, d3_ref, i3_ref = rest[-8:-2]
-    sc0, sc1 = rest[-2], rest[-1]
-    outs = (d1_ref, i1_ref, d2_ref, i2_ref, d3_ref, i3_ref)
-    i = pl.program_id(1)
-    nsteps = pl.num_programs(1)
-
-    @pl.when(i == 0)
-    def _():
-        for dref, iref in ((d1_ref, i1_ref), (d2_ref, i2_ref), (d3_ref, i3_ref)):
-            dref[:] = jnp.full(dref.shape, INVALID_DIST, jnp.float32)
-            iref[:] = jnp.zeros(iref.shape, jnp.int32)
-
-    dist = _dist_tile(q_ref, x_ref, bias_ref, cs_ref, metric)
-    even = i % 2 == 0
-
-    @pl.when(even)
-    def _():
-        sc0[:] = dist
-
-    @pl.when(jnp.logical_not(even))
-    def _():
-        sc1[:] = dist
-
-    # fold the PREVIOUS tile (opposite parity slot) — independent of the
-    # matmul above
-    @pl.when((i > 0) & even)
-    def _():
-        _reduce_tile(sc1[:], (i - 1) * TILE, tb, *outs)
-
-    @pl.when(jnp.logical_not(even))
-    def _():
-        _reduce_tile(sc0[:], (i - 1) * TILE, tb, *outs)
-
-    # drain: the last step folds its own tile as well
-    @pl.when(i == nsteps - 1)
-    def _():
-        _reduce_tile(dist, i * TILE, tb, *outs)
-
-
 def _count_kernel(q_ref, x_ref, bias_ref, *rest, metric: Metric):
     cs_ref = rest[0] if metric == Metric.COSINE else None
     thr_ref, lt_ref, le_ref = rest[-3], rest[-2], rest[-1]
@@ -218,16 +178,8 @@ def _count_kernel(q_ref, x_ref, bias_ref, *rest, metric: Metric):
     le_ref[:] = le_ref[:] + jnp.sum(at_most, axis=1, keepdims=True)
 
 
-#: software-pipeline the candidates kernel (score tile i on the MXU while
-#: the VPU folds tile i-1) — env-toggleable for A/B
-PIPE_DEFAULT = os.environ.get("VECTORINDEX_FUSED_PIPE", "0") == "1"
-
-
-@partial(jax.jit, static_argnames=("metric", "interpret", "pipelined"))
-def _bin_candidates(
-    q, x, bias, colscale, *, metric: Metric, interpret: bool,
-    pipelined: bool = False,
-):
+@partial(jax.jit, static_argnames=("metric", "interpret"))
+def _bin_candidates(q, x, bias, colscale, *, metric: Metric, interpret: bool):
     nq, d = q.shape
     npad = x.shape[0]
     tb = _query_block(nq)
@@ -240,19 +192,12 @@ def _bin_candidates(
         in_specs.append(b_spec)
         args.append(colscale)
     out_spec = pl.BlockSpec((tb, C), lambda qb, i: (qb, 0), memory_space=pltpu.VMEM)
-    scratch = (
-        [pltpu.VMEM((tb, TILE), jnp.float32)] * 2 if pipelined else []
-    )
     grid_spec = pl.GridSpec(
         grid=(nq // tb, npad // TILE),
         in_specs=in_specs,
         out_specs=(out_spec,) * 6,
-        scratch_shapes=scratch,
     )
-    kernel = partial(
-        _candidates_kernel_pipe if pipelined else _candidates_kernel,
-        metric=metric, tb=tb,
-    )
+    kernel = partial(_candidates_kernel, metric=metric, tb=tb)
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -382,8 +327,7 @@ def scan_topk_fused(
         qk = q / qn
 
     d1, i1, d2, i2, d3, i3 = _bin_candidates(
-        qk, x_pad, bias, colscale, metric=metric, interpret=interpret,
-        pipelined=PIPE_DEFAULT and not interpret,
+        qk, x_pad, bias, colscale, metric=metric, interpret=interpret
     )
     cd = jnp.concatenate([d1, d2, d3], axis=1)  # [B, 3C]
     ci = jnp.concatenate([i1, i2, i3], axis=1)
