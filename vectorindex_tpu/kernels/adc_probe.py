@@ -701,7 +701,8 @@ def ivf_search_pq_hostrerank(
     path (ops.rerank.rerank_gathered) for sources already near the device."""
     from vectorindex_tpu.ops.rerank import rerank_gathered, rerank_gathered_host
 
-    q = jnp.asarray(np.asarray(q, dtype=np.float32))
+    qnp = np.asarray(q, dtype=np.float32)
+    q = jnp.asarray(qnp)
     b, d = q.shape
     p = min(nprobe, centroids.shape[0]) * probe_cap
     kk = min(k, p)
@@ -717,12 +718,23 @@ def ivf_search_pq_hostrerank(
         # i32 array crosses the link per batch instead of (rows, iids) —
         # half the per-batch PCIe/relay bytes of the rows-keyed path
         iids_np = np.asarray(iids)
+        src = getattr(reader, "vecs", None)
+        if src is not None:
+            # FUSED native gather+score+topk (hostops.cpp): one streaming
+            # pass over the candidate rows, no [B,C,d] intermediate — the
+            # id-indexed `vecs` array IS gather_ids' source, so semantics
+            # match exactly (~7x the numpy pipeline on a 1-core host)
+            from vectorindex_tpu.ops.rerank import rerank_ids_host
+
+            out = rerank_ids_host(src, iids_np, qnp, k=k, metric=metric)
+            if out is not None:
+                return out
         g = reader.gather_ids(iids_np.reshape(-1))
         if g.shape[-1] > d:
             g = np.ascontiguousarray(g[:, :d])
         xg = g.reshape(b, iids_np.shape[1], g.shape[-1])
         return rerank_gathered_host(
-            np.asarray(q), xg, iids_np, k=k, metric=metric
+            qnp, xg, iids_np, k=k, metric=metric
         )
     rows_np = np.asarray(rows)  # [B, c] device→host
     g = reader.gather(rows_np.reshape(-1))  # [B·c, d or d_pad] — a reader
@@ -734,7 +746,7 @@ def ivf_search_pq_hostrerank(
     if host_rerank:
         # results stay host-side (numpy): nothing returns to the device
         return rerank_gathered_host(
-            np.asarray(q), xg, np.asarray(iids), k=k, metric=metric
+            qnp, xg, np.asarray(iids), k=k, metric=metric
         )
     return rerank_gathered(
         q, jnp.asarray(xg), cd, iids, k=k, metric=metric
@@ -785,6 +797,7 @@ def ivf_search_pq_hostrerank_stream(
     from vectorindex_tpu.ops.rerank import rerank_gathered, rerank_gathered_host
 
     use_ids = host_rerank and hasattr(reader, "gather_ids")
+    native_src = getattr(reader, "vecs", None) if use_ids else None
     # one fetch worker: device→host transfers for batch i+1 overlap with
     # batch i's host gather+rerank (the transfer is link-wait, not CPU, so
     # the overlap is real even on a single-core host); order is preserved
@@ -792,7 +805,8 @@ def ivf_search_pq_hostrerank_stream(
     fetcher = ThreadPoolExecutor(max_workers=1)
 
     def dispatch(qb):
-        qd = jnp.asarray(np.asarray(qb, dtype=np.float32))
+        qnp = np.asarray(qb, dtype=np.float32)
+        qd = jnp.asarray(qnp)
         b, d = qd.shape
         p = min(nprobe, centroids.shape[0]) * probe_cap
         kk = min(k, p)
@@ -805,18 +819,28 @@ def ivf_search_pq_hostrerank_stream(
         )
         if use_ids:
             # iids alone key the gather (reader.gather_ids) AND carry the
-            # missing/dedup sentinel — one [B,C] i32 crosses the link. The
-            # worker also runs the host GATHER, so on multi-core hosts the
-            # 25 MB row copy for batch i+1 overlaps batch i's rerank
-            # (numpy releases the GIL in both).
-            def _fetch(i_dev=iids, dd=d):
-                iids_np = np.asarray(i_dev)
-                g = reader.gather_ids(iids_np.reshape(-1))
-                if g.shape[-1] > dd:
-                    g = np.ascontiguousarray(g[:, :dd])
-                return iids_np, g
+            # missing/dedup sentinel — one [B,C] i32 crosses the link.
+            # Start the D2H copy NOW: with `lookahead` batches in flight
+            # the runtime overlaps their link transfers, so per-batch
+            # relay latency amortizes without any thread fan-out.
+            if hasattr(iids, "copy_to_host_async"):
+                iids.copy_to_host_async()
+            if native_src is not None:
+                # fused native rerank reads rows straight out of
+                # reader.vecs in finish(); the worker only lands the ids
+                fut = fetcher.submit(np.asarray, iids)
+            else:
+                # numpy path: the worker also runs the host GATHER, so on
+                # multi-core hosts the 25 MB row copy for batch i+1
+                # overlaps batch i's rerank (numpy releases the GIL).
+                def _fetch(i_dev=iids, dd=d):
+                    iids_np = np.asarray(i_dev)
+                    g = reader.gather_ids(iids_np.reshape(-1))
+                    if g.shape[-1] > dd:
+                        g = np.ascontiguousarray(g[:, :dd])
+                    return iids_np, g
 
-            fut = fetcher.submit(_fetch)
+                fut = fetcher.submit(_fetch)
         elif host_rerank:
 
             def _fetch_rows(r_dev=rows, i_dev=iids, dd=d):
@@ -829,15 +853,31 @@ def ivf_search_pq_hostrerank_stream(
             fut = fetcher.submit(_fetch_rows)
         else:
             fut = fetcher.submit(np.asarray, rows)
-        return qd, cd, iids, fut, d
+        return qnp, qd, cd, iids, fut, d
 
     def finish(pend):
-        qd, cd, iids, fut, d = pend
+        qnp, qd, cd, iids, fut, d = pend
+        if use_ids and native_src is not None:
+            from vectorindex_tpu.ops.rerank import rerank_ids_host
+
+            iids_np = fut.result()  # blocks on THIS batch's link fetch only
+            out = rerank_ids_host(
+                native_src, iids_np, qnp, k=k, metric=metric
+            )
+            if out is not None:
+                return out
+            g = reader.gather_ids(np.asarray(iids_np).reshape(-1))
+            if g.shape[-1] > d:
+                g = np.ascontiguousarray(g[:, :d])
+            xg = g.reshape(qnp.shape[0], iids_np.shape[1], g.shape[-1])
+            return rerank_gathered_host(
+                qnp, xg, iids_np, k=k, metric=metric
+            )
         if host_rerank:
             iids_np, g = fut.result()  # blocks on THIS batch only
-            xg = g.reshape(qd.shape[0], iids_np.shape[1], g.shape[-1])
+            xg = g.reshape(qnp.shape[0], iids_np.shape[1], g.shape[-1])
             return rerank_gathered_host(
-                np.asarray(qd), xg, iids_np, k=k, metric=metric
+                qnp, xg, iids_np, k=k, metric=metric
             )
         rows_np = fut.result()
         g = reader.gather(rows_np.reshape(-1))
