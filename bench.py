@@ -1091,6 +1091,43 @@ def bench_hostpq(
         found.append(np.asarray(si))
     rec = recall_at_k(np.concatenate(found), truth)
 
+    # stage decomposition for the pipeline story (VERDICT r3 next #7): one
+    # batch's candidate ids fetched to host (the link stage a co-located
+    # TPU host would pay as PCIe), then the host rerank stage standalone —
+    # native fused gather+score+topk (hostops.cpp) when the corpus layout
+    # allows, else the numpy pipeline. Steady-state pipelined throughput
+    # is bounded by max(device, link, host), and these three numbers show
+    # which one binds.
+    from vectorindex_tpu.kernels.adc_probe import pq_probe_candidates
+    from vectorindex_tpu.ops.rerank import rerank_ids_host
+
+    _, _, iids0 = pq_probe_candidates(
+        q, cent, arrays, codes, tcorr, books, nprobe=nprobe,
+        probe_cap=probe_cap, c=c, metric=Metric.L2, interpret=_interp(),
+    )
+    jax.block_until_ready(iids0)
+    t0 = time.perf_counter()
+    iids_np = np.asarray(iids0)
+    t_fetch = time.perf_counter() - t0
+    qnp = np.asarray(q)
+    if rerank_ids_host(x, iids_np, qnp, k=K, metric=Metric.L2) is not None:
+        t_host = time_host(
+            lambda: rerank_ids_host(x, iids_np, qnp, k=K, metric=Metric.L2),
+            repeats=repeats,
+        )
+        host_stage = "native_fused"
+    else:
+        def _np_rerank():
+            g = reader.gather_ids(iids_np.reshape(-1))
+            from vectorindex_tpu.ops.rerank import rerank_gathered_host
+
+            return rerank_gathered_host(
+                qnp, g.reshape(b, -1, g.shape[-1]), iids_np, k=K,
+                metric=Metric.L2,
+            )
+        t_host = time_host(_np_rerank, repeats=repeats)
+        host_stage = "numpy"
+
     hbm_bytes_per_row = m_pq + 4 + 4  # codes + tcorr + row_id
     out = {
         "metric": f"hostpq_rerank_tier_qps_per_chip_n{n}_d{d}",
@@ -1114,6 +1151,9 @@ def bench_hostpq(
         "hbm_bytes_per_row": hbm_bytes_per_row,
         "host_bytes_per_row": 4 * d,
         "rerank_stage": "host",
+        "host_rerank_impl": host_stage,
+        "ms_link_fetch": round(t_fetch * 1e3, 3),
+        "ms_host_rerank": round(t_host * 1e3, 3),
         "corpus_prefault_s": round(t_prefault, 1),
         "pcie_bytes_per_batch": b * c * 4,  # candidate ids down; the
         # gathered vectors rerank in host RAM and never cross back
