@@ -545,19 +545,6 @@ def bench_ivf(
     livef = row_ids_np >= 0
     ra[livef] = sel_corpus[row_ids_np[livef]]
     row_allow = jnp.asarray(ra)
-    f_nprobe = 32
-
-    def ffn(q, cent, arrays, rerank_src, row_allow):
-        sd, si = ivf_search_flat_pallas(
-            q, cent, arrays, rerank_src, row_allow,
-            nprobe=f_nprobe, probe_cap=probe_cap, k=K, metric=Metric.L2,
-            interpret=_interp(),
-        )
-        return jnp.sum(jnp.where(jnp.isfinite(sd), sd, 0.0)), jnp.sum(si)
-
-    t_filt, _ = time_loop(
-        ffn, qpool, b, m, args=(cent, arrays, rerank_src, row_allow)
-    )
     allowed_idx = np.nonzero(sel_corpus)[0]
     sub = x[allowed_idx]
     dsub = (
@@ -566,22 +553,42 @@ def bench_ivf(
         - 2.0 * (qs[:n_eval] @ sub.T)
     )
     truth_f = allowed_idx[np.argsort(dsub, axis=1)[:, :K]]
-    found_f = []
-    for s in range(0, n_eval, b):
-        _, si = ivf_search_flat_pallas(
-            qpool[s : s + b], cent, arrays, rerank_src, row_allow,
-            nprobe=f_nprobe, probe_cap=probe_cap, k=K, metric=Metric.L2,
-            interpret=_interp(),
+
+    def filt_point(f_nprobe):
+        def ffn(q, cent, arrays, rerank_src, row_allow):
+            sd, si = ivf_search_flat_pallas(
+                q, cent, arrays, rerank_src, row_allow,
+                nprobe=f_nprobe, probe_cap=probe_cap, k=K, metric=Metric.L2,
+                interpret=_interp(),
+            )
+            return jnp.sum(jnp.where(jnp.isfinite(sd), sd, 0.0)), jnp.sum(si)
+
+        t_filt, _ = time_loop(
+            ffn, qpool, b, m, args=(cent, arrays, rerank_src, row_allow)
         )
-        found_f.append(np.asarray(si))
-    rec_f = recall_at_k(np.concatenate(found_f), truth_f)
-    filtered = {
-        "allow_frac": 0.10,
-        "at_nprobe": f_nprobe,
-        "qps": round(b / t_filt, 1),
-        "ms_per_batch": round(t_filt * 1e3, 3),
-        "recall_at_10_vs_allowed": round(rec_f, 4),
-    }
+        found_f = []
+        for s in range(0, n_eval, b):
+            _, si = ivf_search_flat_pallas(
+                qpool[s : s + b], cent, arrays, rerank_src, row_allow,
+                nprobe=f_nprobe, probe_cap=probe_cap, k=K, metric=Metric.L2,
+                interpret=_interp(),
+            )
+            found_f.append(np.asarray(si))
+        rec_f = recall_at_k(np.concatenate(found_f), truth_f)
+        return {
+            "at_nprobe": f_nprobe,
+            "qps": round(b / t_filt, 1),
+            "ms_per_batch": round(t_filt * 1e3, 3),
+            "recall_at_10_vs_allowed": round(rec_f, 4),
+        }
+
+    # a 10%-selective filter thins every probed list ~10x, so the allowed
+    # 10-NN spread across more lists than the unfiltered operating point
+    # reaches (round-4 driver run: 0.875 at nprobe=32). nprobe is the
+    # recall knob under filters exactly as without them (reference
+    # IVFSelect nprobe, IVFSelect.swift:78): report the unfiltered
+    # operating point AND a widened point so the knob's cost is measured.
+    filtered = {"allow_frac": 0.10, **filt_point(32), "widened": filt_point(96)}
 
     # flat-scan latency at the same serving batch (the crossover comparison)
     sqn = jnp.einsum("nd,nd->n", x, x)
@@ -1498,7 +1505,9 @@ CONFIGS = ["ivf", "crossover10m", "hostpq", "ivfpq", "churn", "hostpq30m",
 # + 2-point sweep trims), hostpq 35, hnsw 74, ivfpq 181 (4-point sweep),
 # adc 78, hostpq30m 108, churn 131 — plus margin for tunnel variance.
 _COST_EST = {
-    "ivf": (300, 110, ["ivf_kmeans_n1000000_d128_dz16_s21_k1024_v2.npz"]),
+    # warm +120: the widened filtered point (nprobe=96) is one NEW XLA
+    # program on its first warm run (server compile cache keys by HLO)
+    "ivf": (300, 230, ["ivf_kmeans_n1000000_d128_dz16_s21_k1024_v2.npz"]),
     "hnsw": (600, 90, ["hnsw_n100000_d128_m16_v2.vidx",
                        "hnsw_n100000_d128_m16_v2.npz"]),
     "ivfpq": (700, 180, ["ivfpq_n1000000_d96_k4096_pq16_ld_v3.npz",
