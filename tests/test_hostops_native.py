@@ -4,9 +4,12 @@ The host-memory rerank tier's exact rerank runs on the serving host
 (reference ExactRerank.swift:655); hostops.cpp fuses gather+score+topk
 into one streaming pass. These tests pin its contract to the numpy
 pipeline (reader.gather_ids + rerank_gathered_host): same ids, same
-scores, same strict (score, id) ties, same missing-id sentinels —
-on integer-valued vectors the f32 arithmetic is exact, so results must
-be byte-identical.
+strict (score, id) ties, same missing-id sentinels. On integer-valued
+vectors the f32 arithmetic is exact, so results must be byte-identical;
+on real-valued data the two backends reduce in different orders
+(AVX-512 FMA trees vs BLAS blocked sums) and distances must agree within
+the documented bound host_rerank_dist_tol (ops/rerank.py — the settled
+round-5 parity contract).
 """
 
 import numpy as np
@@ -14,6 +17,7 @@ import pytest
 
 from vectorindex_tpu.ops.rerank import (
     CSRReader,
+    host_rerank_dist_tol,
     rerank_gathered_host,
     rerank_ids_host,
 )
@@ -56,6 +60,49 @@ def test_parity_exact(metric):
     rd, ri = _oracle(x, ids, q, 10, metric)
     np.testing.assert_array_equal(ni, ri)
     np.testing.assert_allclose(nd, rd, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "metric", [Metric.L2, Metric.INNER_PRODUCT, Metric.COSINE]
+)
+def test_parity_real_valued_within_contract(metric):
+    # real-valued data: reduction orders differ, so the contract is exact
+    # ids + distances within host_rerank_dist_tol(d, scale)
+    rng = np.random.default_rng(11)
+    n, d, b, c = 4000, 96, 9, 257
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    ids = rng.integers(0, n, (b, c)).astype(np.int32)
+    nd, ni = rerank_ids_host(x, ids, q, k=10, metric=metric)
+    rd, ri = _oracle(x, ids, q, 10, metric)
+    np.testing.assert_array_equal(ni, ri)
+    scale = (
+        1.0
+        if metric == Metric.COSINE
+        else 2.0 * float(np.square(x).sum(axis=1).max())
+    )
+    np.testing.assert_allclose(
+        nd, rd, rtol=0, atol=host_rerank_dist_tol(d, scale)
+    )
+
+
+def test_k_zero_returns_empty():
+    # ADVICE r4: k=0 must not reach the native TopK (s[len-1] OOB read)
+    x, q, ids = _mk()
+    nd, ni = rerank_ids_host(x, ids, q, k=0, metric=Metric.L2)
+    assert nd.shape == (q.shape[0], 0) and ni.shape == (q.shape[0], 0)
+
+
+def test_negative_id_matches_native_in_fallback():
+    # ADVICE r4: the numpy fallback must treat -1 as missing exactly like
+    # the native kernel (which drops id<0), not gather row 0 under id -1
+    x, q, ids = _mk()
+    ids[:, 3] = -1
+    nd, ni = rerank_ids_host(x, ids, q, k=10, metric=Metric.L2)
+    xg = x[np.clip(ids, 0, x.shape[0] - 1)]
+    rd, ri = rerank_gathered_host(q, xg, ids, k=10, metric=Metric.L2)
+    np.testing.assert_array_equal(ni, ri)
+    assert not np.any(ri == -1)
 
 
 def test_missing_and_dead_ids():

@@ -718,7 +718,14 @@ def ivf_search_pq_hostrerank(
         # i32 array crosses the link per batch instead of (rows, iids) —
         # half the per-batch PCIe/relay bytes of the rows-keyed path
         iids_np = np.asarray(iids)
-        src = getattr(reader, "vecs", None)
+        # explicit contract gate: reader.vecs must be ORIGINAL-id-indexed
+        # (CSRReader.vecs_id_indexed) — a reader exposing a CSR-ordered or
+        # otherwise non-id-indexed `vecs` must not reach the native kernel
+        src = (
+            getattr(reader, "vecs", None)
+            if getattr(reader, "vecs_id_indexed", False)
+            else None
+        )
         if src is not None:
             # FUSED native gather+score+topk (hostops.cpp): one streaming
             # pass over the candidate rows, no [B,C,d] intermediate — the
@@ -794,10 +801,24 @@ def ivf_search_pq_hostrerank_stream(
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
-    from vectorindex_tpu.ops.rerank import rerank_gathered, rerank_gathered_host
+    from vectorindex_tpu.ops.rerank import (
+        native_rerank_available,
+        rerank_gathered,
+        rerank_gathered_host,
+    )
 
     use_ids = host_rerank and hasattr(reader, "gather_ids")
-    native_src = getattr(reader, "vecs", None) if use_ids else None
+    native_src = (
+        getattr(reader, "vecs", None)
+        if use_ids and getattr(reader, "vecs_id_indexed", False)
+        else None
+    )
+    if native_src is not None and not native_rerank_available(native_src):
+        # probe native usability ONCE at setup: when the fused kernel
+        # would decline (no g++, non-f32/strided vecs), fall back NOW so
+        # dispatch() keeps the worker-side gather overlap instead of
+        # running a synchronous 25 MB gather per batch in finish()
+        native_src = None
     # one fetch worker: device→host transfers for batch i+1 overlap with
     # batch i's host gather+rerank (the transfer is link-wait, not CPU, so
     # the overlap is real even on a single-core host); order is preserved

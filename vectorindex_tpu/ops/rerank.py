@@ -55,6 +55,13 @@ class CSRReader:
     """Host ndarray in ORIGINAL row order + the CSR row_ids table — avoids
     materializing a second, CSR-ordered copy of a multi-GB corpus."""
 
+    # Explicit contract flag for the fused native path: `vecs` is indexed
+    # by ORIGINAL corpus id, i.e. vecs[id] is exactly what gather_ids([id])
+    # returns. Consumers (kernels/adc_probe.py) gate on THIS, not on the
+    # mere presence of a `vecs` attribute — a reader exposing a
+    # CSR-ordered or otherwise non-id-indexed `vecs` must leave it False.
+    vecs_id_indexed = True
+
     def __init__(self, vecs: np.ndarray, row_ids: np.ndarray):
         self.vecs = vecs
         self.row_ids = np.asarray(row_ids)
@@ -90,9 +97,27 @@ _NATIVE_DIR = os.path.join(
     "persistence", "native",
 )
 _HOSTOPS_SRC = os.path.join(_NATIVE_DIR, "hostops.cpp")
-_HOSTOPS_SO = os.path.join(_NATIVE_DIR, "libvindex_hostops.so")
 _hostops_lib = None
 _hostops_failed = False
+
+
+def _hostops_so_path() -> str:
+    """Cached-.so name keyed by (source hash, CPU arch): a source edit or a
+    host swap (e.g. the round-4 AVX-512 box replaced by one without it —
+    -march=native code would SIGILL) forces a rebuild instead of CDLL'ing a
+    stale binary."""
+    import hashlib
+    import platform
+
+    with open(_HOSTOPS_SRC, "rb") as f:
+        src_h = hashlib.sha256(f.read()).hexdigest()[:12]
+    arch = platform.machine()
+    try:  # -march=native output depends on the concrete CPU flags
+        with open("/proc/cpuinfo", "rb") as f:
+            arch += "-" + hashlib.sha256(f.read()).hexdigest()[:8]
+    except OSError:
+        pass
+    return os.path.join(_NATIVE_DIR, f"libvindex_hostops_{src_h}_{arch}.so")
 
 
 def _hostops():
@@ -106,19 +131,31 @@ def _hostops():
     try:
         import ctypes
         import subprocess
+        import tempfile
 
-        if not os.path.exists(_HOSTOPS_SO) or os.path.getmtime(
-            _HOSTOPS_SO
-        ) < os.path.getmtime(_HOSTOPS_SRC):
-            subprocess.run(
-                [
-                    "g++", "-O3", "-march=native", "-std=c++20", "-fPIC",
-                    "-shared", "-o", _HOSTOPS_SO, _HOSTOPS_SRC,
-                ],
-                check=True,
-                capture_output=True,
+        so_path = _hostops_so_path()
+        if not os.path.exists(so_path):
+            # build to a temp file and os.replace(): concurrent processes
+            # (bench + tests) may race the compile, and a reader must never
+            # CDLL a half-written .so
+            fd, tmp = tempfile.mkstemp(
+                suffix=".so", prefix=".hostops_build_", dir=_NATIVE_DIR
             )
-        lib = ctypes.CDLL(_HOSTOPS_SO)
+            os.close(fd)
+            try:
+                subprocess.run(
+                    [
+                        "g++", "-O3", "-march=native", "-std=c++20",
+                        "-fPIC", "-shared", "-o", tmp, _HOSTOPS_SRC,
+                    ],
+                    check=True,
+                    capture_output=True,
+                )
+                os.replace(tmp, so_path)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+        lib = ctypes.CDLL(so_path)
         lib.vi_rerank_ids_f32.restype = None
         lib.vi_rerank_ids_f32.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -133,6 +170,58 @@ def _hostops():
 
 
 _METRIC_CODE = {Metric.L2: 0, Metric.INNER_PRODUCT: 1, Metric.COSINE: 2}
+
+_F32_EPS = float(np.finfo(np.float32).eps)
+
+
+def host_rerank_dist_tol(d: int, scale: float = 1.0) -> float:
+    """THE native↔numpy host-rerank parity contract (settled round 5).
+
+    The two host backends perform the same f32 arithmetic in different
+    reduction orders — hostops.cpp accumulates 16-lane AVX-512 FMA trees
+    (hostops.cpp:62-82) while rerank_gathered_host goes through BLAS
+    blocked sums — so distances are NOT bit-identical on real-valued data
+    (on integer-valued data both are exact and byte-identical, which
+    tests/test_hostops_native.py pins). The contract the two backends DO
+    hold, asserted by the parity tests:
+
+      1. within each backend, results are ordered by strict (score, id)
+         ascending (reference TopK.swift:8-30), missing slots hold
+         (+inf, INVALID_ID);
+      2. across backends, every returned distance agrees within
+         ``host_rerank_dist_tol(d, scale)`` = 8·d·eps_f32·scale, where
+         `scale` is the magnitude of the pre-cancellation terms
+         (max ‖q‖² + ‖x‖² for L2; O(1) for cosine). This is the standard
+         reduction-reordering bound: each of the ~d-term sums carries
+         O(d·eps·scale) order-dependent error and L2's dot-trick
+         cancellation exposes it absolutely, not relatively;
+      3. id sequences agree exactly whenever no two candidate scores of a
+         query sit within that bound of each other — true for the seeded
+         test corpora, where the tests assert exact id equality.
+
+    The reference's analog (byte-exact Swift-vs-C parity,
+    PQEncodeParity_AoS_C_vs_Swift_Tests.swift:33-51) is achievable there
+    because both sides accumulate in identical scalar order; a fused SIMD
+    kernel cannot match BLAS summation order without giving up the ~7x
+    single-core win that justifies it."""
+    return 8.0 * d * _F32_EPS * max(float(scale), 1.0)
+
+
+def native_rerank_available(x: np.ndarray) -> bool:
+    """True when rerank_ids_host would accept this corpus array — probed
+    ONCE at stream setup so the pipelined serving loop can keep the
+    worker-side gather in its fallback plan instead of discovering
+    native-unavailability per batch in the consumer thread."""
+    if _hostops() is None:
+        return False
+    return (
+        isinstance(x, np.ndarray)
+        and x.ndim == 2
+        and x.dtype == np.float32
+        and x.strides[1] == 4
+        and x.strides[0] % 4 == 0
+        and x.strides[0] >= x.shape[1] * 4
+    )
 
 
 def rerank_ids_host(
@@ -149,8 +238,10 @@ def rerank_ids_host(
     :21-64). One streaming pass over the candidate rows — no [B, C, d]
     gather intermediate, no lexsort: ~7x cheaper than the numpy
     gather + rerank_gathered_host pipeline on the single-core bench host
-    (69 ms -> ~9 ms per B=64, C=1024, d=96 batch). Same results and the
-    same strict (score, id) tie contract.
+    (69 ms -> ~9 ms per B=64, C=1024, d=96 batch). Same ids and strict
+    (score, id) ordering as the numpy path; distances agree within the
+    documented reduction-order bound host_rerank_dist_tol(d, scale) —
+    see its docstring for the full parity contract.
 
     Returns None when the native library or the layout preconditions
     (f32 corpus, row-contiguous, i32 ids) aren't met; callers fall back
@@ -158,6 +249,12 @@ def rerank_ids_host(
     lib = _hostops()
     if lib is None or metric not in _METRIC_CODE:
         return None
+    if k <= 0:  # the native TopK buffer assumes k >= 1
+        b = int(np.asarray(iids).shape[0])
+        return (
+            np.empty((b, 0), dtype=np.float32),
+            np.empty((b, 0), dtype=np.int32),
+        )
     if x.ndim != 2 or x.dtype != np.float32 or x.strides[1] != 4:
         return None
     if x.strides[0] % 4 != 0 or x.strides[0] < x.shape[1] * 4:
@@ -211,7 +308,10 @@ def rerank_gathered_host(
     b, c, d = xg.shape
     if q.shape[1] != d:  # lane-padded gather source
         q = np.pad(q, ((0, 0), (0, d - q.shape[1])))
-    missing = iids == INVALID_ID
+    # negative ids (the -1 dead-slot sentinel) are missing exactly like
+    # INVALID_ID — the native kernel drops id<0 (hostops.cpp:171) and the
+    # two paths must agree for the same input
+    missing = (iids == INVALID_ID) | (iids < 0)
     # batched BLAS gemv beats np.einsum's nditer loop ~4x at serving shapes
     # ([64, 1024, 96]); the host tier's rerank arithmetic runs beside the
     # gather on the same cores (reference ExactRerank.swift:655)
