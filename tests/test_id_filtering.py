@@ -274,3 +274,67 @@ class TestHNSWIDFilter:
         res_u = idx.batch_search(q, K)
         for rf, ru in zip(res_f, res_u):
             assert [r.id for r in rf] == [r.id for r in ru]
+
+
+def test_ivf_filtered_rank_major_all_metrics():
+    """IP/cosine filtered IVF search rides the same masked rank-major fast
+    path as L2 (round 5 — VERDICT r4 next #8): the deny mask folds into
+    the sqnorm stream as a +inf sentinel that the kernels read explicitly
+    for metrics whose score doesn't consume ‖x‖². Results must equal brute
+    force over the ALLOWED rows for every metric."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vectorindex_tpu.bench.synth import pack_ivf
+    from vectorindex_tpu.kernels.ivf_probe import (
+        ivf_search_flat_pallas,
+        rank_major_fits,
+    )
+    from vectorindex_tpu.ops import kmeans as km
+    from vectorindex_tpu.utils.config import Metric
+
+    rng = np.random.default_rng(3)
+    n, d, nlist, b, k = 4000, 32, 16, 8, 5
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    res = km.kmeans(jnp.asarray(x), km.KMeansConfig(k=nlist, iters=8, seed=2))
+    assign = np.asarray(res.assignments).astype(np.int32)
+    arrays, order, cap = pack_ivf(x, assign, nlist, storage_dtype=jnp.float32)
+    assert rank_major_fits(b, cap, d, 4)  # the fast path must be in play
+    allow_corpus = rng.random(n) < 0.2
+    row_ids = np.asarray(arrays.row_ids)
+    ra = np.zeros(row_ids.shape[0], bool)
+    live = row_ids >= 0
+    ra[live] = allow_corpus[row_ids[live]]
+    row_allow = jnp.asarray(ra)
+    q = x[rng.choice(n, b, replace=False)] + 0.05 * rng.standard_normal(
+        (b, d)
+    ).astype(np.float32)
+    allowed = np.nonzero(allow_corpus)[0]
+    sub = x[allowed]
+    for metric in (Metric.L2, Metric.INNER_PRODUCT, Metric.COSINE):
+        sd, si = ivf_search_flat_pallas(
+            jnp.asarray(q), res.centroids, arrays, None, row_allow,
+            nprobe=nlist, probe_cap=cap, k=k, metric=metric, interpret=True,
+        )
+        si = np.asarray(si)
+        if metric == Metric.L2:
+            ref = (
+                np.sum(q**2, 1)[:, None] + np.sum(sub**2, 1)[None, :]
+                - 2.0 * q @ sub.T
+            )
+        elif metric == Metric.INNER_PRODUCT:
+            ref = -(q @ sub.T)
+        else:
+            qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+            sn = sub / np.maximum(
+                np.linalg.norm(sub, axis=1, keepdims=True), 1e-30
+            )
+            ref = 1.0 - qn @ sn.T
+        truth = allowed[np.argsort(ref, axis=1)[:, :k]]
+        # full probe (nprobe == nlist): the allowed top-k must be exact
+        for i in range(b):
+            assert set(si[i].tolist()) == set(truth[i].tolist()), (
+                metric, i, si[i], truth[i]
+            )
+        # and no denied id may ever appear
+        assert allow_corpus[si[si >= 0]].all()

@@ -464,6 +464,12 @@ def ivf_search_pq_pallas(
     packed_u4: bool = False,
     rerank_c: int = 0,
     slot_rows: Optional[Array] = None,  # needed when rerank_c > 0
+    rerank_vecs: Optional[Array] = None,  # [n, d_pad] rerank source in
+    #   ORIGINAL row order, gathered by internal id instead of CSR row.
+    #   Under spill multi-assignment this keeps ONE copy of the corpus on
+    #   device (CSR-ordered vecs would duplicate every spilled row), and
+    #   the same buffer can back a fused flat scan (bench crossover leg).
+    rerank_sqnorms: Optional[Array] = None,  # [n] f32 ‖x‖² (original order)
     row_allow: Optional[Array] = None,  # [N_pad] bool allow mask in CSR row
     #   order — masked BEFORE top-C selection (reference IDFilter.swift:104
     #   allow/deny threading), so k results survive selective filters
@@ -540,9 +546,18 @@ def ivf_search_pq_pallas(
     if rerank_c:
         # exact rerank of the ADC top-C against the original vectors
         # (reference IVFPostADC.rerankTopKFlat + #40)
-        rrows = jnp.where(missing, 0, rows)
-        xg = arrays.vecs[rrows].astype(jnp.float32)
-        sg = arrays.sqnorms[rrows]
+        if rerank_vecs is not None:
+            # id-keyed gather into the ORIGINAL-order source (iids carry
+            # original corpus ids via arrays.row_ids)
+            gidx = jnp.clip(
+                jnp.where(missing, 0, iids), 0, rerank_vecs.shape[0] - 1
+            )
+            xg = rerank_vecs[gidx].astype(jnp.float32)
+            sg = rerank_sqnorms[gidx]
+        else:
+            rrows = jnp.where(missing, 0, rows)
+            xg = arrays.vecs[rrows].astype(jnp.float32)
+            sg = arrays.sqnorms[rrows]
         qr = q
         if q.shape[1] != xg.shape[-1]:  # lane-padded rerank source
             qr = jnp.pad(q, ((0, 0), (0, xg.shape[-1] - q.shape[1])))

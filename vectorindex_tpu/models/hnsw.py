@@ -1131,6 +1131,57 @@ class HNSWIndex(VectorIndex):
 
         return fn, (gv, sqn, valid, nbrs0, lookup0) + hi_flat
 
+    def batch_search_stream(self, q_batches, k: int, *, lookahead: int = 3):
+        """PIPELINED serving over a stream of query batches: the fused
+        device search for up to `lookahead` upcoming batches is dispatched
+        (JAX async) before batch i's results are assembled on the host, so
+        the device beam, the device→host transfer, and the host assembly
+        overlap — steady-state throughput approaches max(stage) instead of
+        charging every batch the full dispatch round-trip (the reference
+        measures per-query avg/p95 through its serving loop the same way,
+        VectorIndexBenchmarks/main.swift:214-226; the TPU-native difference
+        is that the whole per-batch search is ONE device dispatch).
+
+        Yields `assemble_results(...)` rows per batch, in order. This is
+        the production serving entry; `batch_search` is the per-call
+        latency path."""
+        from collections import deque
+
+        self._ensure_built()
+        if self.count == 0 or k <= 0 or self._entry < 0:
+            for qb in q_batches:
+                yield [[] for _ in range(np.asarray(qb).shape[0])]
+            return
+        fn, fargs = self.device_search_closure(k)
+
+        def dispatch(qb):
+            q = np.asarray(qb, dtype=np.float32)
+            if q.ndim == 1:
+                q = q[None, :]
+            if q.shape[1] != self.dimension:
+                raise dimension_mismatch(
+                    self.dimension, q.shape[1], "hnsw.batch_search_stream"
+                )
+            qg = jnp.asarray(self._to_graph_space(q, query=True))
+            kslot, kscore, kok = fn(qg, *fargs)  # async device dispatch
+            for a in (kslot, kscore, kok):  # start D2H copies NOW so the
+                # lookahead batches' link transfers overlap device compute
+                if hasattr(a, "copy_to_host_async"):
+                    a.copy_to_host_async()
+            return kslot, kscore, kok
+
+        def finish(pend):
+            kslot, kscore, kok = (np.asarray(a) for a in pend)
+            return self.assemble_results(kslot, kscore, kok)
+
+        pending = deque()
+        for qb in q_batches:
+            pending.append(dispatch(qb))
+            if len(pending) > max(lookahead, 1):
+                yield finish(pending.popleft())
+        while pending:
+            yield finish(pending.popleft())
+
     def assemble_results(
         self, kslot: np.ndarray, kscore: np.ndarray, kok: np.ndarray
     ) -> list[list[SearchResult]]:
