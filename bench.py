@@ -951,7 +951,7 @@ def bench_ivfpq(
 def bench_crossover(
     n: int = 10_000_000, d: int = 96, nlist: int = 4096, iters: int = 20,
     m_pq: int = 32, u4: bool = True, spill_eps: float = 0.2,
-    points=((1, 1024), (8, 2048)),
+    points=((1, 1024), (1, 2048)),
 ):
     """The 10M capacity-crossover config, round-5 shape (VERDICT r4 next
     #4): ONE spilled pq32x4 index (boundary multi-assignment lifts the
@@ -960,9 +960,13 @@ def bench_crossover(
     the exact rerank reading an ORIGINAL-order bf16 corpus buffer that the
     flat-scan comparison leg SHARES — one 2.6 GB upload serves both, and
     no CSR-duplicated vec copy exists under spill. The round-3/4 plain
-    pq16 sweeps (0.9188 plateau) are the documented baseline this config
-    is built to beat; rerank_c is the second knob because the plateau
-    decomposes as ~2% routing + ~6% ADC top-C truncation."""
+    pq16 plateau (0.9188) was diagnosed in round 5 as RERANK PRECISION,
+    not routing: with spill, nprobe=1 already covers 100% of true
+    neighbors, and the consistent-bf16 rerank (sqnorms over the ROUNDED
+    rows) lifts the ceiling from 0.9418 to ~0.99 (docs/ROUND5_NOTES.md
+    §2-3). nprobe=8 measured recall-identical to nprobe=1 at lower QPS
+    (coverage is already 1.0), so both operating points ride nprobe=1 and
+    sweep rerank_c instead."""
     from vectorindex_tpu.bench.cache import cache_dir, cached
     from vectorindex_tpu.bench.synth import (
         exact_truth,
@@ -1045,13 +1049,21 @@ def bench_crossover(
         sqn = np.zeros((x.shape[0],), dtype=np.float32)
         for s in range(0, x.shape[0], 1_000_000):
             chunk = np.asarray(x[s : s + 1_000_000], dtype=np.float32)
-            sqn[s : s + 1_000_000] = np.einsum("nd,nd->n", chunk, chunk)
             xb[s : s + 1_000_000] = chunk.astype(jnp.bfloat16.dtype)
+            # CONSISTENT sqnorms: sum over the bf16-ROUNDED rows, so the
+            # dot-trick rerank computes an exact ||q - x_hat||^2 over the
+            # stored values. Mixing exact-f32 ||x||^2 with bf16 <q, x_hat>
+            # injects a 2<q, x - x_hat> ~ 4e-4 error that near-tie
+            # geometry turns into a recall CEILING: measured 0.9418 mixed
+            # vs 0.988 consistent at rerank_c -> inf on this corpus
+            # (round-5 diagnosis; docs/ROUND5_NOTES.md).
+            cb = xb[s : s + 1_000_000].astype(np.float32)
+            sqn[s : s + 1_000_000] = np.einsum("nd,nd->n", cb, cb)
         # store bf16 as its raw u16 bits (npz has no bf16 dtype)
         return {"xb": xb.view(np.uint16), "sqn": sqn}
 
     _t = time.perf_counter()
-    art_b, _b_cached = cached(f"corpus_bf16_n{n}_d{d}_s31_v1", build_bf16)
+    art_b, _b_cached = cached(f"corpus_bf16_n{n}_d{d}_s31_v2", build_bf16)
     xb_host = np.asarray(art_b["xb"]).view(jnp.bfloat16.dtype)
     sqn_host = np.asarray(art_b["sqn"])
     stage["bf16_s"] = round(time.perf_counter() - _t, 1)
@@ -1087,10 +1099,13 @@ def bench_crossover(
             rerank_c=rc, dedup=True, packed_u4=u4, interpret=_interp(),
         )
 
+        # pass the FULL padded buffers: slicing xp[:n] inside the jit
+        # materializes a 2.5 GB copy per call (measured 9.8 vs 1.9 ms) —
+        # pad rows never appear as candidate ids, so the full table is safe
         def f(q, cent, arrays, codes, tcorr, xp, sp):
             sd, si = ivf_search_pq_pallas(
                 q, cent, arrays, codes, tcorr, books,
-                rerank_vecs=xp[:n], rerank_sqnorms=sp[:n], **kw
+                rerank_vecs=xp, rerank_sqnorms=sp, **kw
             )
             return jnp.sum(jnp.where(jnp.isfinite(sd), sd, 0.0)), jnp.sum(si)
 
@@ -1101,7 +1116,7 @@ def bench_crossover(
         for s in range(0, n_eval, b):
             _, si = ivf_search_pq_pallas(
                 qpool_eval[s : s + b], cent, arrays, codes, tcorr, books,
-                rerank_vecs=xp[:n], rerank_sqnorms=sp[:n], **kw
+                rerank_vecs=xp, rerank_sqnorms=sp, **kw
             )
             found.append(np.asarray(si))
         rec = recall_at_k(np.concatenate(found), truth)
@@ -1763,10 +1778,11 @@ _COST_EST = {
     "adc": (250, 85, ["adc_pqtrain_n1000000_d128_m8_v2.npz"]),
     "churn": (300, 150, ["hnsw_n100000_d128_m16_v2.vidx",
                          "hnsw_n100000_d128_m16_v2.npz"]),
-    # warm crossover: corpus sidecar prefault + CSR pack + one compile pair
-    # per sweep point (the dominant, high-variance term)
-    "crossover10m": (1500, 400, [
-        "ivfpq_crossover_n10000000_d96_k4096_pq16_v3.npz",
+    # warm crossover (round-5 shape): spill artifact + bf16-corpus sidecar
+    # reload + ONE shared device upload + 2 sweep points + flat leg
+    "crossover10m": (1500, 330, [
+        "ivfpq_crossover_n10000000_d96_k4096_pq32x4_sp0.2_v1.npz",
+        "corpus_bf16_n10000000_d96_s31_v2.npz",
         "corpus_clustered_n10000000_d96_k4096_s31_v1.npz",
     ]),
     # warm hostpq right after crossover10m skips the corpus reload (the

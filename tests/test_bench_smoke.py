@@ -156,3 +156,19 @@ def test_bench_budget_guard_skips_when_exhausted(monkeypatch, capsys):
     assert "provisional" not in lines[-1]
     mid = lines[1:-1]
     assert mid and all(m["metric"].endswith("_SKIPPED") for m in mid)
+
+
+def test_bench_crossover_smoke():
+    bench = _load_bench()
+    out = bench.bench_crossover(n=6000, d=32, nlist=8, iters=2, m_pq=8,
+                                points=((2, 64), (4, 128)))
+    _check(out)
+    assert "crossover" in out and "flat_fused_qps" in out
+    assert out["at_spill_eps"] == 0.2 and "spill_frac" in out
+    assert [(p["nprobe"], p["rerank_c"]) for p in out["sweep"]] == [
+        (2, 64), (4, 128)
+    ]
+    # cache round-trip
+    out2 = bench.bench_crossover(n=6000, d=32, nlist=8, iters=2, m_pq=8,
+                                 points=((2, 64), (4, 128)))
+    assert out2["build_cached"] is True
