@@ -47,8 +47,21 @@ from vectorindex_tpu.utils.config import Metric
 
 Array = jax.Array
 
-#: corpus rows per grid step (per-tile f32 scores = tb*TILE*4 bytes of VMEM)
+#: corpus rows per grid step (per-tile f32 scores = tb*tile*4 bytes of
+#: VMEM). Round-5 A/B on the chip: 8192-row tiles run pass-1 at 0.564 ms
+#: vs 0.607 ms at 4096 (fewer grid steps -> better DMA amortization), but
+#: the [tb, tile] f32 score block + double-buffered x tiles only fit the
+#: 16 MB scoped-VMEM budget up to d_pad = 128 — wider corpora keep 4096.
+#: (Also measured and REJECTED for the reduction itself: a min-tree +
+#: eq-scan single-candidate variant at 0.818 ms — the compare/select
+#: insertion chain is already the cheaper VPU form — and jnp.argmin,
+#: which OOMs scoped VMEM at 21.7 MB.)
 TILE = 4096
+TILE_WIDE = 8192
+
+
+def _tile_rows(dpad: int) -> int:
+    return TILE_WIDE if dpad <= 128 else TILE
 #: max queries per grid block (256q x 4096 tile = 4 MB f32 scores)
 TB_MAX = 256
 #: candidate bins per query (one candidate kept per bin)
@@ -84,7 +97,7 @@ def _dist_tile(q_ref, x_ref, bias_ref, cs_ref, metric: Metric):
     raise ValueError(f"unsupported metric {metric}")
 
 
-def _candidates_kernel(q_ref, x_ref, bias_ref, *rest, metric: Metric, tb: int):
+def _candidates_kernel(q_ref, x_ref, bias_ref, *rest, metric: Metric, tb: int, tile: int):
     """Per tile: the TWO smallest (dist, id) per residue class (bin = column
     mod C), merged into a THREE-tier running state held in the output blocks.
 
@@ -107,7 +120,7 @@ def _candidates_kernel(q_ref, x_ref, bias_ref, *rest, metric: Metric, tb: int):
 
     dist = _dist_tile(q_ref, x_ref, bias_ref, cs_ref, metric)
     _reduce_tile(
-        dist, i * TILE, tb, d1_ref, i1_ref, d2_ref, i2_ref, d3_ref, i3_ref
+        dist, i * tile, tb, d1_ref, i1_ref, d2_ref, i2_ref, d3_ref, i3_ref
     )
 
 
@@ -125,11 +138,12 @@ def _reduce_tile(dist, base, tb, d1_ref, i1_ref, d2_ref, i2_ref, d3_ref, i3_ref)
     The serial form below is the measured optimum; don't re-add scratch."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (tb, C), 1)
     # two smallest per class within the tile (exact sorted-2 insertion)
+    tile = dist.shape[1]
     tm1 = dist[:, :C]
     ti1 = lane + base
     tm2 = jnp.full((tb, C), INVALID_DIST, jnp.float32)
     ti2 = jnp.zeros((tb, C), jnp.int32)
-    for j in range(1, TILE // C):
+    for j in range(1, tile // C):
         blk = dist[:, j * C : (j + 1) * C]  # static lane-aligned slice
         ids = lane + (base + j * C)
         b1 = blk < tm1
@@ -183,9 +197,10 @@ def _bin_candidates(q, x, bias, colscale, *, metric: Metric, interpret: bool):
     nq, d = q.shape
     npad = x.shape[0]
     tb = _query_block(nq)
+    tile = _tile_rows(d)
     q_spec = pl.BlockSpec((tb, d), lambda qb, i: (qb, 0), memory_space=pltpu.VMEM)
-    x_spec = pl.BlockSpec((TILE, d), lambda qb, i: (i, 0), memory_space=pltpu.VMEM)
-    b_spec = pl.BlockSpec((1, TILE), lambda qb, i: (0, i), memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((tile, d), lambda qb, i: (i, 0), memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((1, tile), lambda qb, i: (0, i), memory_space=pltpu.VMEM)
     in_specs = [q_spec, x_spec, b_spec]
     args = [q, x, bias]
     if metric == Metric.COSINE:
@@ -193,11 +208,11 @@ def _bin_candidates(q, x, bias, colscale, *, metric: Metric, interpret: bool):
         args.append(colscale)
     out_spec = pl.BlockSpec((tb, C), lambda qb, i: (qb, 0), memory_space=pltpu.VMEM)
     grid_spec = pl.GridSpec(
-        grid=(nq // tb, npad // TILE),
+        grid=(nq // tb, npad // tile),
         in_specs=in_specs,
         out_specs=(out_spec,) * 6,
     )
-    kernel = partial(_candidates_kernel, metric=metric, tb=tb)
+    kernel = partial(_candidates_kernel, metric=metric, tb=tb, tile=tile)
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -226,9 +241,10 @@ def _count_below(q, x, bias, colscale, thresh, *, metric: Metric, interpret: boo
     nq, d = q.shape
     npad = x.shape[0]
     tb = _query_block(nq)
+    tile = _tile_rows(d)
     q_spec = pl.BlockSpec((tb, d), lambda qb, i: (qb, 0), memory_space=pltpu.VMEM)
-    x_spec = pl.BlockSpec((TILE, d), lambda qb, i: (i, 0), memory_space=pltpu.VMEM)
-    b_spec = pl.BlockSpec((1, TILE), lambda qb, i: (0, i), memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((tile, d), lambda qb, i: (i, 0), memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((1, tile), lambda qb, i: (0, i), memory_space=pltpu.VMEM)
     t_spec = pl.BlockSpec((tb, 1), lambda qb, i: (qb, 0), memory_space=pltpu.VMEM)
     in_specs = [q_spec, x_spec, b_spec]
     args = [q, x, bias]
@@ -239,7 +255,7 @@ def _count_below(q, x, bias, colscale, thresh, *, metric: Metric, interpret: boo
     args.append(thresh)
     out_spec = pl.BlockSpec((tb, 1), lambda qb, i: (qb, 0), memory_space=pltpu.VMEM)
     grid_spec = pl.GridSpec(
-        grid=(nq // tb, npad // TILE),
+        grid=(nq // tb, npad // tile),
         in_specs=in_specs,
         out_specs=(out_spec, out_spec),
     )
@@ -269,7 +285,8 @@ def pad_corpus(
     (x_pad, sq_pad, valid_pad) with padded rows dead. Host-side, cached by
     the index alongside its device mirror."""
     n, d = x.shape
-    rpad = (-n) % TILE
+    rpad = (-n) % TILE_WIDE  # TILE divides TILE_WIDE, so both tile
+    # choices divide the padded row count
     cpad = (-d) % 128
     if sqnorms is None:
         sqnorms = jnp.einsum(
