@@ -254,7 +254,7 @@ def bench_flat(iters: int = 20, n: int = 1_000_000, d: int = 128, b: int = 256):
     from vectorindex_tpu.models.flat import FlatIndex
     from vectorindex_tpu.utils.config import Metric as _M
 
-    n_t = min(1 << 17, n)  # smallest fused-path corpus: telemetry shape, not perf
+    n_t = min(1 << 16, n)  # smallest fused-path corpus: telemetry shape, not perf
     fidx = FlatIndex(d, _M.L2, capacity=n_t, storage_dtype=jnp.bfloat16)
     fidx.insert_batch(
         list(range(n_t)), np.asarray(x[:n_t], dtype=np.float32)
@@ -1615,7 +1615,9 @@ def bench_churn(
     xnew = z @ W + 0.05 * rng.standard_normal((stream, d)).astype(np.float32)
     xnew /= np.maximum(np.linalg.norm(xnew, axis=1, keepdims=True), 1e-30)
     xnew = xnew.astype(np.float32)
-    n_eval = 128
+    n_eval = 64  # round 5: halved — the five recall evals were ~35 s
+    # of the config's 155 s warm cost and 64 held-out queries bound the
+    # recall estimates to ±0.02, which the churn story doesn't feel
     q_new = xnew[rng.choice(stream, n_eval, replace=False)]
     q_new = q_new + 0.02 * rng.standard_normal((n_eval, d)).astype(np.float32)
     q_new = q_new.astype(np.float32)
@@ -1754,8 +1756,8 @@ def bench_churn(
 # running three configs in between), then the rest. Tail truncation can no
 # longer erase anything: a compact recap of EVERY config re-emits at the
 # very end (VERDICT r3 weak #2).
-CONFIGS = ["ivf", "crossover10m", "hostpq", "ivfpq", "churn", "hostpq30m",
-           "hnsw", "adc", "flat"]
+CONFIGS = ["ivf", "crossover10m", "hostpq", "ivfpq", "hostpq30m",
+           "hnsw", "adc", "churn", "flat"]
 
 # (cold, warm, cache keys) per config for the budget guard. Cold = build
 # everything from scratch; warm = all listed .benchcache artifacts exist, so
@@ -1766,21 +1768,27 @@ CONFIGS = ["ivf", "crossover10m", "hostpq", "ivfpq", "churn", "hostpq30m",
 # flat 165, ivf 101, crossover10m 520 (before the flat-leg host-side bf16
 # + 2-point sweep trims), hostpq 35, hnsw 74, ivfpq 181 (4-point sweep),
 # adc 78, hostpq30m 108, churn 131 — plus margin for tunnel variance.
+# Round-5 warm values re-measured per config on this round's quiet-host
+# runs (churn stage_s sums 155 s + process overhead; crossover = 60 s
+# artifact+bf16 reload + 25 s pack + ~100 s uploads + 2 sweep points +
+# shared-buffer flat leg; hostpq30m = prefault + 30M pack + stream) with
+# ~15% margin each. Sum of warm estimates = 1,290 s vs the 1,200 s
+# budget; the guard compares ACTUAL elapsed + next estimate, and the
+# measured-actual sum is ~1,140 s, so all nine configs land when actuals
+# track — churn sits last so it, not hnsw/adc, absorbs any overrun.
 _COST_EST = {
-    # warm +120: the widened filtered point (nprobe=96) is one NEW XLA
-    # program on its first warm run (server compile cache keys by HLO)
-    "ivf": (300, 230, ["ivf_kmeans_n1000000_d128_dz16_s21_k1024_v2.npz"]),
-    "hnsw": (600, 90, ["hnsw_n100000_d128_m16_v2.vidx",
-                       "hnsw_n100000_d128_m16_v2.npz"]),
-    "ivfpq": (700, 180, ["ivfpq_n1000000_d96_k4096_pq16_ld_v3.npz",
+    "ivf": (300, 140, ["ivf_kmeans_n1000000_d128_dz16_s21_k1024_v2.npz"]),
+    "hnsw": (600, 100, ["hnsw_n100000_d128_m16_v2.vidx",
+                        "hnsw_n100000_d128_m16_v2.npz"]),
+    "ivfpq": (700, 170, ["ivfpq_n1000000_d96_k4096_pq16_ld_v3.npz",
                          "ivfpq_n1000000_d96_k4096_pq32x4_ld_v3.npz",
                          "ivfpq_n1000000_d96_k4096_pq32x4_ld_sp0.2_v1.npz"]),
     "adc": (250, 85, ["adc_pqtrain_n1000000_d128_m8_v2.npz"]),
-    "churn": (300, 150, ["hnsw_n100000_d128_m16_v2.vidx",
+    "churn": (300, 170, ["hnsw_n100000_d128_m16_v2.vidx",
                          "hnsw_n100000_d128_m16_v2.npz"]),
     # warm crossover (round-5 shape): spill artifact + bf16-corpus sidecar
     # reload + ONE shared device upload + 2 sweep points + flat leg
-    "crossover10m": (1500, 330, [
+    "crossover10m": (1500, 280, [
         "ivfpq_crossover_n10000000_d96_k4096_pq32x4_sp0.2_v1.npz",
         "corpus_bf16_n10000000_d96_s31_v2.npz",
         "corpus_clustered_n10000000_d96_k4096_s31_v1.npz",
@@ -1790,7 +1798,7 @@ _COST_EST = {
     # timed loops only. Round 3's 280s estimate charged it a fresh corpus
     # load it never pays in the CONFIGS order — that phantom cost is what
     # got it budget-skipped (VERDICT r3 weak #3).
-    "hostpq": (900, 50, [
+    "hostpq": (900, 45, [
         "ivfpq_crossover_n10000000_d96_k4096_pq16_v3.npz",
         "corpus_clustered_n10000000_d96_k4096_s31_v1.npz",
     ]),
@@ -1800,7 +1808,7 @@ _COST_EST = {
         "hostpq_n30000000_d96_k8192_pq16_s31_qn0.25_v3.npz",
         "corpus_clustered_n30000000_d96_k4096_s31_v1.npz",
     ]),
-    "flat": (200, 170, []),
+    "flat": (200, 150, []),
 }
 
 
@@ -1882,7 +1890,7 @@ def main(argv=None):
                 out = bench_ivfpq(iters=args.iters, nprobes=(1, 8, 32))
                 u4o = bench_ivfpq(
                     iters=args.iters, m_pq=32, u4=True, nprobes=(32,),
-                    spill_eps=0.2, spill_nprobes=(16, 24, 32),
+                    spill_eps=0.2, spill_nprobes=(16, 32),
                 )
                 out["pq32x4"] = {
                     "metric": u4o["metric"],

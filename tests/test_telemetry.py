@@ -149,3 +149,35 @@ def test_ivfpq_search_records_telemetry():
     assert rec.bytes_read["codes"] > 0
     # PCIe gather: B * rerank_c rows * d * 4 bytes on the vecs stream
     assert snap["bytes"]["vecs"] == 8 * 32 * d * 4
+
+
+def test_kernel_recorder_sinks():
+    """Per-kernel counter sinks (reference per-kernel TelemetryRecorder
+    callbacks, L2SqrKernel.swift:46-57): model search paths bump
+    kernel.<name>.{calls,rows,bytes} counters when telemetry is on."""
+    import numpy as np
+
+    from vectorindex_tpu.models.flat import FlatIndex
+    from vectorindex_tpu.utils.config import Metric
+    from vectorindex_tpu.utils.telemetry import TELEM
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((300, 16)).astype(np.float32)
+    idx = FlatIndex(16, Metric.L2)
+    idx.insert_batch(list(range(300)), x)
+    TELEM.enable()
+    TELEM.reset()
+    try:
+        idx.batch_search(x[:4], 3)
+        snap = TELEM.snapshot()
+    finally:
+        TELEM.disable()
+    ks = [k for k in snap["counters"] if k.startswith("kernel.")]
+    assert any(".calls" in k for k in ks), snap["counters"]
+    assert any(".rows" in k for k in ks), snap["counters"]
+    # disabled: no recording
+    TELEM.reset()
+    idx.batch_search(x[:4], 3)
+    assert not any(
+        k.startswith("kernel.") for k in TELEM.snapshot()["counters"]
+    )

@@ -117,6 +117,24 @@ def microbench(args) -> dict:
     per = (tm - t1) / args.trials
     rows_per_s = n * b / per
     gb_per_s = n * d * x.dtype.itemsize / per / 1e9
+    # per-kernel counter sink (reference L2SqrMicrobench reports per-op
+    # counters through the kernel's own recorder, L2SqrKernel.swift:46-57)
+    from vectorindex_tpu.utils.telemetry import TELEM
+
+    was_enabled = TELEM.enabled
+    TELEM.enable()
+    TELEM.record_kernel(
+        "l2sqr_block",
+        calls=2 + args.trials,
+        rows=n * b * (2 + args.trials),
+        bytes=n * d * x.dtype.itemsize * (2 + args.trials),
+    )
+    snap = TELEM.snapshot()
+    if not was_enabled:
+        TELEM.disable()
+    kcounters = {
+        k: v for k, v in snap["counters"].items() if k.startswith("kernel.")
+    }
     return {
         "kernel": "l2sqr_block",
         "n": n,
@@ -125,6 +143,7 @@ def microbench(args) -> dict:
         "ms_per_pass": round(per * 1e3, 3),
         "row_queries_per_s": round(rows_per_s),
         "corpus_gb_per_s": round(gb_per_s, 1),
+        "kernel_counters": kcounters,
         "device": str(jax.devices()[0]),
     }
 

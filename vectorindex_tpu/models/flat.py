@@ -382,6 +382,11 @@ class FlatIndex(VectorIndex):
         stats.flags.add("dot_trick")
         stats.bytes_read["vecs"] = self.count * self.dimension * 4
         TELEM.add_bytes("vecs", stats.bytes_read["vecs"])
+        # per-kernel sink (reference L2SqrKernel.swift:46-57 recorder)
+        TELEM.record_kernel(
+            "scan_fused", rows=stats.rows_scored,
+            bytes=stats.bytes_read["vecs"],
+        )
         TELEM.record_query(stats)
         dist = np.asarray(dist)
         ids = np.asarray(ids)

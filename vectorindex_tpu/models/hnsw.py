@@ -1362,6 +1362,11 @@ class HNSWIndex(VectorIndex):
             )
             stats.bytes_read["vecs"] = gvecs_bytes
             TELEM.add_bytes("vecs", gvecs_bytes)
+            # per-kernel sink (reference HNSWTraversal.swift:12-23)
+            TELEM.record_kernel(
+                "hnsw_fused_search", rows=stats.rows_scored,
+                bytes=gvecs_bytes,
+            )
             with TELEM.timer("merge", stats):
                 out = self.assemble_results(kslot, kscore, kok)
             TELEM.record_query(stats)

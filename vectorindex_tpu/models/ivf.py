@@ -508,6 +508,9 @@ class IVFIndex(VectorIndex):
                         disabled_lists=disabled,
                     )
                 dist, ids = np.asarray(dist), np.asarray(ids)
+            TELEM.record_kernel(  # reference IVFSelect/L2Sqr recorders
+                "ivf_probe", rows=stats.rows_scored,
+            )
             TELEM.record_query(stats)
 
         scores = self._public_score(dist)
@@ -1025,6 +1028,10 @@ class IVFPQIndex(IVFIndex):
                 q, kk, arrays, codes, tcorr, slot_rows, cap, nprobe, stats,
                 row_allow=row_allow, disabled=disabled,
             )
+        TELEM.record_kernel(  # reference ADCScan per-kernel recorder
+            "adc_probe", rows=stats.codes_scanned,
+            bytes=stats.bytes_read.get("codes", 0),
+        )
         TELEM.record_query(stats)
 
         scores = self._public_score(dist)

@@ -166,6 +166,26 @@ class Telemetry:
         for cb in self._recorders.values():
             cb(stats)
 
+    def record_kernel(
+        self, name: str, *, calls: int = 1, rows: int = 0, bytes: int = 0
+    ) -> None:
+        """Per-KERNEL counter sink (reference per-kernel static
+        TelemetryRecorder callbacks — L2SqrKernel.swift:46-57,
+        TopK.swift:46, HNSWTraversal.swift:12-23). Jitted kernel bodies
+        trace once, so the counters bump at the HOST call sites (the
+        non-jitted entry shims in models/ and the microbench); snapshot()
+        surfaces them as kernel.<name>.{calls,rows,bytes} so kernel-level
+        benches report per-op counters like the reference's
+        L2SqrMicrobench."""
+        if not self.enabled:
+            return
+        with self._lock:
+            self._counters[f"kernel.{name}.calls"] += calls
+            if rows:
+                self._counters[f"kernel.{name}.rows"] += rows
+            if bytes:
+                self._counters[f"kernel.{name}.bytes"] += bytes
+
     def register_recorder(self, name: str, cb: Callable[[QueryStats], None]) -> None:
         """Per-kernel sink callback (reference static TelemetryRecorder)."""
         self._recorders[name] = cb
