@@ -507,7 +507,8 @@ def bench_ivf(
     del rr
     cent = jnp.asarray(centers)
 
-    n_eval = 256
+    n_eval = 128  # round 5: halved — per-point recall keeps ±0.01 and the
+    # eval dispatches were ~25 s of the config's 227 s measured wall
     qs = lowdim_queries(W, max((m + 1) * b, n_eval))
     qpool = jnp.asarray(qs)
     truth = exact_truth(qs[:n_eval], x, K)
@@ -1768,27 +1769,25 @@ CONFIGS = ["ivf", "crossover10m", "hostpq", "ivfpq", "hostpq30m",
 # flat 165, ivf 101, crossover10m 520 (before the flat-leg host-side bf16
 # + 2-point sweep trims), hostpq 35, hnsw 74, ivfpq 181 (4-point sweep),
 # adc 78, hostpq30m 108, churn 131 — plus margin for tunnel variance.
-# Round-5 warm values re-measured per config on this round's quiet-host
-# runs (churn stage_s sums 155 s + process overhead; crossover = 60 s
-# artifact+bf16 reload + 25 s pack + ~100 s uploads + 2 sweep points +
-# shared-buffer flat leg; hostpq30m = prefault + 30M pack + stream) with
-# ~15% margin each. Sum of warm estimates = 1,290 s vs the 1,200 s
-# budget; the guard compares ACTUAL elapsed + next estimate, and the
-# measured-actual sum is ~1,140 s, so all nine configs land when actuals
-# track — churn sits last so it, not hnsw/adc, absorbs any overrun.
+# Round-5 warm values are the per-config config_s walls of a full fresh-
+# process dress rehearsal (all nine configs landed in 1,163 s of the
+# 1,200 s budget: flat 124, ivf 227, crossover 142, hostpq 50, ivfpq 156,
+# hostpq30m 94, hnsw 107, adc 117, churn 146) plus margin; a further ivf
+# eval trim (-25 s) buys slack. The guard compares ACTUAL elapsed + next
+# estimate, and churn sits last so it, not hnsw/adc, absorbs any overrun.
 _COST_EST = {
-    "ivf": (300, 140, ["ivf_kmeans_n1000000_d128_dz16_s21_k1024_v2.npz"]),
-    "hnsw": (600, 100, ["hnsw_n100000_d128_m16_v2.vidx",
+    "ivf": (300, 225, ["ivf_kmeans_n1000000_d128_dz16_s21_k1024_v2.npz"]),
+    "hnsw": (600, 115, ["hnsw_n100000_d128_m16_v2.vidx",
                         "hnsw_n100000_d128_m16_v2.npz"]),
-    "ivfpq": (700, 170, ["ivfpq_n1000000_d96_k4096_pq16_ld_v3.npz",
+    "ivfpq": (700, 175, ["ivfpq_n1000000_d96_k4096_pq16_ld_v3.npz",
                          "ivfpq_n1000000_d96_k4096_pq32x4_ld_v3.npz",
                          "ivfpq_n1000000_d96_k4096_pq32x4_ld_sp0.2_v1.npz"]),
-    "adc": (250, 85, ["adc_pqtrain_n1000000_d128_m8_v2.npz"]),
-    "churn": (300, 170, ["hnsw_n100000_d128_m16_v2.vidx",
+    "adc": (250, 125, ["adc_pqtrain_n1000000_d128_m8_v2.npz"]),
+    "churn": (300, 160, ["hnsw_n100000_d128_m16_v2.vidx",
                          "hnsw_n100000_d128_m16_v2.npz"]),
     # warm crossover (round-5 shape): spill artifact + bf16-corpus sidecar
     # reload + ONE shared device upload + 2 sweep points + flat leg
-    "crossover10m": (1500, 280, [
+    "crossover10m": (1500, 200, [
         "ivfpq_crossover_n10000000_d96_k4096_pq32x4_sp0.2_v1.npz",
         "corpus_bf16_n10000000_d96_s31_v2.npz",
         "corpus_clustered_n10000000_d96_k4096_s31_v1.npz",
@@ -1798,17 +1797,17 @@ _COST_EST = {
     # timed loops only. Round 3's 280s estimate charged it a fresh corpus
     # load it never pays in the CONFIGS order — that phantom cost is what
     # got it budget-skipped (VERDICT r3 weak #3).
-    "hostpq": (900, 45, [
+    "hostpq": (900, 60, [
         "ivfpq_crossover_n10000000_d96_k4096_pq16_v3.npz",
         "corpus_clustered_n10000000_d96_k4096_s31_v1.npz",
     ]),
     # 30M: warm cost is the 11.5 GB corpus prefault + 30M-row CSR pack +
     # compiles (no 10M memo reuse — it needs its own corpus)
-    "hostpq30m": (3600, 150, [
+    "hostpq30m": (3600, 115, [
         "hostpq_n30000000_d96_k8192_pq16_s31_qn0.25_v3.npz",
         "corpus_clustered_n30000000_d96_k4096_s31_v1.npz",
     ]),
-    "flat": (200, 150, []),
+    "flat": (200, 140, []),
 }
 
 
@@ -1851,7 +1850,9 @@ def main(argv=None):
     if "flat" in run:
         run = [c for c in run if c != "flat"]
         try:
+            _t_cfg = time.perf_counter()
             flat_out = bench_flat(args.iters)
+            flat_out["config_s"] = round(time.perf_counter() - _t_cfg, 1)
             emit({**flat_out, "provisional": True})
         except Exception as e:  # noqa: BLE001
             emit({"metric": "flat_FAILED", "value": 0, "unit": "error",
@@ -1873,6 +1874,7 @@ def main(argv=None):
             emit(out)
             continue
         try:
+            _t_cfg = time.perf_counter()
             if cfg == "adc":
                 out = bench_adc(args.iters)
             elif cfg == "ivf":
@@ -1945,6 +1947,7 @@ def main(argv=None):
                 out = bench_churn()
             else:
                 continue
+            out["config_s"] = round(time.perf_counter() - _t_cfg, 1)
             results[cfg] = out
             emit(out)
         except Exception as e:  # noqa: BLE001 — one config must not kill the rest
@@ -1960,7 +1963,7 @@ def main(argv=None):
     recap_keys = (
         "value", "unit", "vs_baseline", "recall_at_10", "at_nprobe",
         "at_ef_search", "mfu", "crossover", "device_candidates_qps",
-        "reason", "error",
+        "config_s", "reason", "error",
     )
     for cfg in CONFIGS:
         out = results.get(cfg)
