@@ -1543,9 +1543,16 @@ def bench_hnsw(n: int = 100_000, d: int = 128, iters: int = 20):
     nb = 12
     qstream = lowdim_queries(W, nb * b, seed=13)
     sbatches = [qstream[i * b : (i + 1) * b] for i in range(nb)]
+    # lookahead=6 measured best on the tunnel (scripts/
+    # hnsw_stream_lookahead.py: 36.3/19.5/14.9/20.9 ms per batch at
+    # 1/3/6/10 — per-batch dispatch+D2H relay RTT needs ~6 batches in
+    # flight to fully overlap; beyond that host-side assembly contends)
+    rows_seen = 0
+    for rows in idx.batch_search_stream(sbatches[:4], K, lookahead=6):
+        rows_seen += len(rows)  # warm the stream path outside the timing
     rows_seen = 0
     t0 = time.perf_counter()
-    for rows in idx.batch_search_stream(sbatches, K, lookahead=3):
+    for rows in idx.batch_search_stream(sbatches, K, lookahead=6):
         rows_seen += len(rows)  # results are fully assembled per batch
     t_streamed = time.perf_counter() - t0
     assert rows_seen == nb * b
@@ -1559,7 +1566,7 @@ def bench_hnsw(n: int = 100_000, d: int = 128, iters: int = 20):
         "recall_at_10": best["recall_at_10"],
         "at_ef_search": best["ef_search"],
         "throughput": "measured: pipelined batch_search_stream, "
-                      f"{nb} batches x {b}, lookahead 3",
+                      f"{nb} batches x {b}, lookahead 6",
         "qps_pipelined_measured": round(qps_measured, 1),
         "ms_per_batch_stream": round(t_streamed / nb * 1e3, 3),
         "qps_model_dev_asm": best["qps"],
