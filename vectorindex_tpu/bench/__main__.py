@@ -119,19 +119,18 @@ def microbench(args) -> dict:
     gb_per_s = n * d * x.dtype.itemsize / per / 1e9
     # per-kernel counter sink (reference L2SqrMicrobench reports per-op
     # counters through the kernel's own recorder, L2SqrKernel.swift:46-57)
-    from vectorindex_tpu.utils.telemetry import TELEM
+    from vectorindex_tpu.utils.telemetry import Telemetry
 
-    was_enabled = TELEM.enabled
-    TELEM.enable()
-    TELEM.record_kernel(
+    # a LOCAL recorder instance: the process-global TELEM must not be
+    # force-enabled or polluted with this run's synthetic counters
+    telem = Telemetry(enabled=True)
+    telem.record_kernel(
         "l2sqr_block",
         calls=2 + args.trials,
         rows=n * b * (2 + args.trials),
         bytes=n * d * x.dtype.itemsize * (2 + args.trials),
     )
-    snap = TELEM.snapshot()
-    if not was_enabled:
-        TELEM.disable()
+    snap = telem.snapshot()
     kcounters = {
         k: v for k, v in snap["counters"].items() if k.startswith("kernel.")
     }

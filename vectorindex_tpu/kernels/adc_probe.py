@@ -541,6 +541,12 @@ def ivf_search_pq_pallas(
     missing = ~jnp.isfinite(cd)
     if dedup:
         missing = _dedup_missing(iids, missing)
+        # mask the DISTANCES of dedup'd duplicates as well: the
+        # rerank_c=0 path ranks by cd directly, and a duplicate keeping
+        # its finite ADC distance would land an INVALID_ID mid-top-k —
+        # consumers break at the first invalid slot and silently
+        # truncate the row (round-5 review finding)
+        cd = jnp.where(missing, INVALID_DIST, cd)
     iids = jnp.where(missing, INVALID_ID, iids)
 
     if rerank_c:
@@ -927,9 +933,11 @@ def ivf_search_pq_hostrerank_stream(
     pending = deque()
     try:
         for qb in q_batches:
-            pending.append(dispatch(qb))  # enqueued async
-            if len(pending) > max(lookahead, 1):
+            # drain BEFORE dispatching so at most `lookahead` batches are
+            # ever in flight (dispatch-then-drain held lookahead+1)
+            if len(pending) >= max(lookahead, 1):
                 yield finish(pending.popleft())
+            pending.append(dispatch(qb))  # enqueued async
         while pending:
             yield finish(pending.popleft())
     finally:

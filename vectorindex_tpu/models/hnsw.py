@@ -1150,7 +1150,9 @@ class HNSWIndex(VectorIndex):
         self._ensure_built()
         if self.count == 0 or k <= 0 or self._entry < 0:
             for qb in q_batches:
-                yield [[] for _ in range(np.asarray(qb).shape[0])]
+                q = np.asarray(qb)
+                nq = 1 if q.ndim == 1 else q.shape[0]
+                yield [[] for _ in range(nq)]
             return
         fn, fargs = self.device_search_closure(k)
 
@@ -1176,9 +1178,11 @@ class HNSWIndex(VectorIndex):
 
         pending = deque()
         for qb in q_batches:
-            pending.append(dispatch(qb))
-            if len(pending) > max(lookahead, 1):
+            # drain BEFORE dispatching: at most `lookahead` batches in
+            # flight, as documented (dispatch-then-drain held one extra)
+            if len(pending) >= max(lookahead, 1):
                 yield finish(pending.popleft())
+            pending.append(dispatch(qb))
         while pending:
             yield finish(pending.popleft())
 

@@ -1231,6 +1231,10 @@ class IVFPQIndex(IVFIndex):
             from vectorindex_tpu.ops.ivf_pq import ivf_search_pq, rerank_rows
 
             c_adc = max(kk, self.config.rerank_c if self.config.rerank else kk)
+            if self._spill:
+                # duplicates are dropped below — widen the candidate list
+                # so k survivors remain after dedup
+                c_adc = max(c_adc, 2 * kk + 16)
             c_adc = min(c_adc, self.count)
             dist, ids = ivf_search_pq(
                 jnp.asarray(q),
@@ -1252,6 +1256,17 @@ class IVFPQIndex(IVFIndex):
                 miss = dedup_mask(ids, ids == INVALID_ID)
                 ids = jnp.where(miss, INVALID_ID, ids)
                 dist = jnp.where(miss, INVALID_DIST, dist)
+                if not self.config.rerank:
+                    # compact: a dedup'd duplicate must not leave an
+                    # INVALID hole mid-row (consumers break at the first
+                    # invalid slot — round-5 review finding); re-sort so
+                    # survivors fill the top-k
+                    from vectorindex_tpu.ops.topk import topk as _topk
+
+                    dist, ids = _topk(
+                        dist, min(kk, dist.shape[1]), ids=ids,
+                        strict_ties=True,
+                    )
             if self.config.rerank:
                 dist, ids = rerank_rows(
                     jnp.asarray(q),

@@ -113,16 +113,33 @@ class HostRerankSession:
         kw = dict(
             nprobe=self.nprobe, probe_cap=self.probe_cap, c=c,
             metric=self.metric, packed_u4=self.packed_u4, dedup=self.dedup,
-            row_allow=self.row_allow, disabled_lists=self.disabled_lists,
             interpret=self.interpret,
         )
+        # row_allow/disabled_lists ride the args tuple too — a [N_pad]
+        # bool mask over a 10-30M-row index is itself a multi-MB array
+        # that must not lower as an HLO constant
+        has_allow = self.row_allow is not None
+        has_disabled = self.disabled_lists is not None
 
-        def fn(q, centroids, arrays, codes, tcorr):
+        def fn(q, centroids, arrays, codes, tcorr, *extra):
+            i = 0
+            row_allow = disabled = None
+            if has_allow:
+                row_allow = extra[i]
+                i += 1
+            if has_disabled:
+                disabled = extra[i]
             return pq_probe_candidates(
-                q, centroids, arrays, codes, tcorr, books, **kw
+                q, centroids, arrays, codes, tcorr, books,
+                row_allow=row_allow, disabled_lists=disabled, **kw
             )
 
-        return fn, (self.centroids, self.arrays, self.codes, self.tcorr)
+        extra = tuple(
+            a for a in (self.row_allow, self.disabled_lists)
+            if a is not None
+        )
+        return fn, (self.centroids, self.arrays, self.codes,
+                    self.tcorr) + extra
 
     def rerank_host(self, iids: np.ndarray, q: np.ndarray, k: int):
         """Host rerank stage standalone over candidate ids (native fused
@@ -141,6 +158,16 @@ class HostRerankSession:
             )
             if out is not None:
                 return out
+        if not hasattr(self.reader, "gather_ids"):
+            # rows-keyed readers (ArrayReader over CSR-packed storage)
+            # cannot serve an id-keyed gather — the full search/stream
+            # paths handle them, but this decomposition hook is id-keyed
+            # by contract
+            raise ValueError(
+                "rerank_host requires an id-keyed reader (gather_ids); "
+                "this session's reader is rows-keyed — use search()/"
+                "stream() instead"
+            )
         g = self.reader.gather_ids(iids.reshape(-1))
         d = qnp.shape[1]
         if g.shape[-1] > d:

@@ -112,9 +112,21 @@ def _hostops_so_path() -> str:
     with open(_HOSTOPS_SRC, "rb") as f:
         src_h = hashlib.sha256(f.read()).hexdigest()[:12]
     arch = platform.machine()
-    try:  # -march=native output depends on the concrete CPU flags
-        with open("/proc/cpuinfo", "rb") as f:
-            arch += "-" + hashlib.sha256(f.read()).hexdigest()[:8]
+    try:  # -march=native output depends on the concrete CPU flags; hash
+        # only the STABLE identity lines — raw cpuinfo contains volatile
+        # fields ("cpu MHz" under frequency scaling) that would defeat
+        # the cache and leak one .so per process
+        with open("/proc/cpuinfo") as f:
+            stable = sorted(
+                {
+                    ln.strip()
+                    for ln in f
+                    if ln.startswith(("model name", "flags", "vendor_id"))
+                }
+            )
+        arch += "-" + hashlib.sha256(
+            "\n".join(stable).encode()
+        ).hexdigest()[:8]
     except OSError:
         pass
     return os.path.join(_NATIVE_DIR, f"libvindex_hostops_{src_h}_{arch}.so")
