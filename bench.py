@@ -1284,6 +1284,11 @@ def bench_hostpq(
         centroids=cent, arrays=arrays, codes=codes, tcorr=tcorr,
         books=books, reader=reader, nprobe=nprobe, probe_cap=probe_cap,
         rerank_c=rerank_c, metric=Metric.L2, interpret=_interp(),
+        # lookahead=6 measured best on the tunnel (scripts/
+        # hostpq_lookahead.py: 24.5/14.1/18.3 ms per batch at 3/6/10 —
+        # the 55 ms link fetch needs ~6 batches in flight to fully
+        # overlap; deeper queues contend with the host rerank)
+        lookahead=6,
     )
     q = jnp.asarray(qs_eval[:b])
 
